@@ -1,0 +1,17 @@
+# Root conftest: configure JAX for multi-device CPU testing BEFORE jax is imported.
+#
+# Tests run on a virtual 8-device CPU mesh (the TPU-pod stand-in), mirroring the
+# multi-config CI strategy of the reference (.github/workflows/test.yml runs the
+# suite once per arithmetic backend; we run once with an 8-device mesh so the
+# sharded paths are exercised without a pod).
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(__file__))

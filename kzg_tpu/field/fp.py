@@ -1,0 +1,73 @@
+"""The BLS12-381 base field Fp (381-bit) as batched limb arrays.
+
+The reference gets Fp arithmetic for free from its dependencies (kilic's
+Go+asm / herumi's C++ mcl); here it is the same limb engine as Fr with
+24 x 16-bit limbs (R = 2^384). Montgomery form everywhere.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import limbs
+from .constants import FP_MODULUS
+from .limbs import FieldSpec
+
+SPEC = FieldSpec(name="Fp", modulus=FP_MODULUS, n_limbs=24)
+N_LIMBS = SPEC.n_limbs
+
+ZERO = SPEC.encode(0)
+ONE = SPEC.encode(1)
+
+
+def add(a, b):
+    return limbs.add(SPEC, a, b)
+
+
+def sub(a, b):
+    return limbs.sub(SPEC, a, b)
+
+
+def neg(a):
+    return limbs.neg(SPEC, a)
+
+
+def mul(a, b):
+    return limbs.mont_mul(SPEC, a, b)
+
+
+def sqr(a):
+    return limbs.mont_mul(SPEC, a, a)
+
+
+def inv(a):
+    return limbs.inv(SPEC, a)
+
+
+def pow_static(a, e: int):
+    return limbs.pow_static(SPEC, a, e)
+
+
+def eq(a, b):
+    return limbs.eq(a, b)
+
+
+def is_zero(a):
+    return limbs.is_zero(a)
+
+
+def select(mask, a, b):
+    return limbs.select(mask, a, b)
+
+
+def zeros(shape=()) -> jnp.ndarray:
+    return jnp.zeros(tuple(shape) + (N_LIMBS,), dtype=jnp.uint32)
+
+
+def from_int(values) -> np.ndarray:
+    return SPEC.encode(values)
+
+
+def to_int(arr) -> np.ndarray:
+    return SPEC.decode(arr)

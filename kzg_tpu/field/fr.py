@@ -1,0 +1,158 @@
+"""The BLS12-381 scalar field Fr as batched limb arrays.
+
+API parity with the reference's bls facade (bls/bignum_kilic.go:25-132):
+add/sub/mul/div/inv/batch_inv/exp/eq/zero-checks plus 32-byte little-endian
+(de)serialization with the ValidFr range check (bls/bignum_all.go:12-35).
+
+An "Fr batch" is a uint32[..., 16] array of 16-bit limbs in Montgomery form
+(R = 2^256), always fully reduced.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limbs
+from .constants import FR_MODULUS
+from .limbs import FieldSpec
+
+SPEC = FieldSpec(name="Fr", modulus=FR_MODULUS, n_limbs=16)
+N_LIMBS = SPEC.n_limbs
+
+# ---- module-level constants (host numpy, Montgomery form) ----
+ZERO = SPEC.encode(0)
+ONE = SPEC.encode(1)
+TWO = SPEC.encode(2)
+MODULUS_MINUS1 = SPEC.encode(FR_MODULUS - 1)
+MODULUS_MINUS2 = SPEC.encode(FR_MODULUS - 2)
+INVERSE_TWO = SPEC.encode(pow(2, -1, FR_MODULUS))
+
+
+# ---- device ops (traceable; jit at the call-site granularity you need) ----
+def add(a, b):
+    return limbs.add(SPEC, a, b)
+
+
+def sub(a, b):
+    return limbs.sub(SPEC, a, b)
+
+
+def neg(a):
+    return limbs.neg(SPEC, a)
+
+
+def mul(a, b):
+    return limbs.mont_mul(SPEC, a, b)
+
+
+def sqr(a):
+    return limbs.mont_mul(SPEC, a, a)
+
+
+def inv(a):
+    return limbs.inv(SPEC, a)
+
+
+def batch_inv(a):
+    """Parity with BatchInvModFr; on TPU the Fermat ladder is already batched."""
+    return limbs.inv(SPEC, a)
+
+
+def div(a, b):
+    return mul(a, inv(b))
+
+
+def pow_static(a, e: int):
+    return limbs.pow_static(SPEC, a, e)
+
+
+def eq(a, b):
+    return limbs.eq(a, b)
+
+
+def is_zero(a):
+    return limbs.is_zero(a)
+
+
+def is_one(a):
+    return limbs.eq(a, jnp.asarray(ONE))
+
+
+def select(mask, a, b):
+    return limbs.select(mask, a, b)
+
+
+def zeros(shape=()) -> jnp.ndarray:
+    return jnp.zeros(tuple(shape) + (N_LIMBS,), dtype=jnp.uint32)
+
+
+def scalar_bits(a_mont):
+    """Canonical bit decomposition of Montgomery-form scalars.
+
+    Returns uint32[..., 256] with bit i = (a >> i) & 1. Used by the curve
+    layer for double-and-add (the reference normalizes Fr out of Montgomery
+    form before G1 multiplication the same way, bls/bls_kilic.go:41-45).
+    """
+    canon = limbs.from_mont(SPEC, a_mont)  # (..., 16) canonical limbs
+    shifts = jnp.arange(limbs.LIMB_BITS, dtype=jnp.uint32)
+    bits = (canon[..., :, None] >> shifts) & 1  # (..., 16, 16)
+    return bits.reshape(canon.shape[:-1] + (256,))
+
+
+# ---- host conversions ----
+def from_int(values) -> np.ndarray:
+    """Python int (or nested lists) -> Montgomery limb array."""
+    return SPEC.encode(values)
+
+
+def to_int(arr) -> np.ndarray:
+    """Montgomery limb array -> object array of Python ints."""
+    return SPEC.decode(arr)
+
+
+def from_u64(values) -> np.ndarray:
+    """Parity with bls.AsFr (u64 -> Fr)."""
+    return SPEC.encode(values)
+
+
+def random(shape=(), seed=None) -> np.ndarray:
+    """Uniform random field elements (host RNG), Montgomery limb array."""
+    rng = np.random.default_rng(seed)
+    flat = int(np.prod(shape)) if shape else 1
+    vals = [rng.integers(0, 1 << 63, size=5).tolist() for _ in range(flat)]
+    ints = [
+        (v[0] + (v[1] << 63) + (v[2] << 126) + (v[3] << 189) + (v[4] << 252))
+        % FR_MODULUS
+        for v in vals
+    ]
+    out = SPEC.encode(np.asarray(ints, dtype=object).reshape(shape or (1,)))
+    return out if shape else out[0]
+
+
+def valid_fr_bytes(b32: bytes) -> bool:
+    """ValidFr range check on 32-byte little-endian input
+    (reference: bls/bignum_all.go:12-35)."""
+    if len(b32) != 32:
+        raise ValueError("need exactly 32 bytes")
+    return int.from_bytes(b32, "little") < FR_MODULUS
+
+
+def from_bytes32_le(b32: bytes):
+    """FrFrom32 parity: little-endian 32 bytes -> Fr, None if out of range."""
+    if not valid_fr_bytes(b32):
+        return None
+    return SPEC.encode(int.from_bytes(b32, "little"))
+
+
+def to_bytes32_le(fr_limb) -> bytes:
+    """FrTo32 parity: Fr -> canonical little-endian 32 bytes."""
+    return int(SPEC.decode(np.asarray(fr_limb))[()]).to_bytes(32, "little")
+
+
+# jitted standalone versions for direct use
+jit_add = jax.jit(add)
+jit_sub = jax.jit(sub)
+jit_mul = jax.jit(mul)
+jit_inv = jax.jit(inv)
