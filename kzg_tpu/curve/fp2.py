@@ -1,0 +1,96 @@
+"""Fp2 = Fp[u]/(u^2+1) as batched limb arrays.
+
+An Fp2 batch is uint32[..., 2, 24]: component axis (c0, c1) then Fp limbs.
+Exposes the same duck-typed field-op surface as kzg_tpu.field.fp so the
+generic Weierstrass engine works over either.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import fp
+
+
+def make(c0, c1):
+    return jnp.stack([c0, c1], axis=-2)
+
+
+def c0(a):
+    return a[..., 0, :]
+
+
+def c1(a):
+    return a[..., 1, :]
+
+
+def add(a, b):
+    return jnp.stack([fp.add(c0(a), c0(b)), fp.add(c1(a), c1(b))], axis=-2)
+
+
+def sub(a, b):
+    return jnp.stack([fp.sub(c0(a), c0(b)), fp.sub(c1(a), c1(b))], axis=-2)
+
+
+def neg(a):
+    return jnp.stack([fp.neg(c0(a)), fp.neg(c1(a))], axis=-2)
+
+
+def mul(a, b):
+    """Karatsuba: 3 Fp multiplies."""
+    a0, a1, b0, b1 = c0(a), c1(a), c0(b), c1(b)
+    t0 = fp.mul(a0, b0)
+    t1 = fp.mul(a1, b1)
+    t2 = fp.mul(fp.add(a0, a1), fp.add(b0, b1))
+    return jnp.stack(
+        [fp.sub(t0, t1), fp.sub(t2, fp.add(t0, t1))], axis=-2
+    )
+
+
+def sqr(a):
+    a0, a1 = c0(a), c1(a)
+    t0 = fp.mul(fp.add(a0, a1), fp.sub(a0, a1))  # a0^2 - a1^2
+    t1 = fp.mul(a0, a1)
+    return jnp.stack([t0, fp.add(t1, t1)], axis=-2)
+
+
+def inv(a):
+    a0, a1 = c0(a), c1(a)
+    norm = fp.add(fp.sqr(a0), fp.sqr(a1))
+    ninv = fp.inv(norm)
+    return jnp.stack([fp.mul(a0, ninv), fp.neg(fp.mul(a1, ninv))], axis=-2)
+
+
+def eq(a, b):
+    return jnp.logical_and(fp.eq(c0(a), c0(b)), fp.eq(c1(a), c1(b)))
+
+
+def is_zero(a):
+    return jnp.logical_and(fp.is_zero(c0(a)), fp.is_zero(c1(a)))
+
+
+def select(mask, a, b):
+    a, b = jnp.broadcast_arrays(a, b)
+    mask = jnp.broadcast_to(mask, a.shape[:-2])
+    return jnp.where(mask[..., None, None], a, b)
+
+
+def zero_like(a):
+    return jnp.zeros_like(a)
+
+
+def one_like(a):
+    one = make(jnp.asarray(fp.ONE), jnp.asarray(fp.ZERO))
+    return jnp.broadcast_to(one, a.shape)
+
+
+def from_int(pairs) -> np.ndarray:
+    """[(c0, c1), ...] python ints -> Montgomery limb array (host)."""
+    arr = np.asarray(pairs, dtype=object)
+    return fp.from_int(arr)
+
+
+def to_int(a):
+    """-> object array of (c0, c1) int pairs (host)."""
+    return fp.to_int(a)

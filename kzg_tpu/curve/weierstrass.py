@@ -1,0 +1,191 @@
+"""Generic short-Weierstrass (a=0) Jacobian point arithmetic, branchless.
+
+Parameterized by a duck-typed field module (kzg_tpu.field.fp for G1,
+kzg_tpu.curve.fp2 for G2), so the curve group logic is written once.
+The reference gets these group laws from its CPU backends (kilic Jacobian
+G1/G2, bls/bls_kilic.go); here every edge case (infinity, doubling) is a
+masked select so the whole batch stays on the vector unit.
+
+Points are NamedTuples of field-element arrays (X, Y, Z), infinity encoded
+as Z == 0.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..field import fr
+
+
+class JacobianPoint(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+
+class CurveOps:
+    def __init__(self, F, elem_ndim: int = 1):
+        self.F = F
+        self._edim = elem_ndim
+
+    # ---- constructors ----
+    def infinity_like(self, p: JacobianPoint) -> JacobianPoint:
+        F = self.F
+        return JacobianPoint(F.one_like(p.x), F.one_like(p.y), F.zero_like(p.z))
+
+    def from_affine(self, x, y) -> JacobianPoint:
+        return JacobianPoint(x, y, self.F.one_like(x))
+
+    def is_infinity(self, p: JacobianPoint):
+        return self.F.is_zero(p.z)
+
+    # ---- group law ----
+    def double(self, p: JacobianPoint) -> JacobianPoint:
+        """dbl-2009-l (a=0). Maps infinity to infinity (Z3 = 2YZ = 0)."""
+        F = self.F
+        a = F.sqr(p.x)
+        b = F.sqr(p.y)
+        c = F.sqr(b)
+        d = F.sub(F.sqr(F.add(p.x, b)), F.add(a, c))
+        d = F.add(d, d)
+        e = F.add(F.add(a, a), a)
+        f = F.sqr(e)
+        x3 = F.sub(f, F.add(d, d))
+        c8 = F.add(c, c)
+        c8 = F.add(c8, c8)
+        c8 = F.add(c8, c8)
+        y3 = F.sub(F.mul(e, F.sub(d, x3)), c8)
+        yz = F.mul(p.y, p.z)
+        z3 = F.add(yz, yz)
+        return JacobianPoint(x3, y3, z3)
+
+    def add(self, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+        """Complete addition via masked selects (add-2007-bl core).
+
+        Handles P==Q (falls through to double), P==-Q (infinity), and
+        either operand at infinity.
+        """
+        F = self.F
+        z1z1 = F.sqr(p.z)
+        z2z2 = F.sqr(q.z)
+        u1 = F.mul(p.x, z2z2)
+        u2 = F.mul(q.x, z1z1)
+        s1 = F.mul(F.mul(p.y, q.z), z2z2)
+        s2 = F.mul(F.mul(q.y, p.z), z1z1)
+        h = F.sub(u2, u1)
+        rr = F.sub(s2, s1)
+
+        h2 = F.add(h, h)
+        i = F.sqr(h2)
+        j = F.mul(h, i)
+        rr2 = F.add(rr, rr)
+        v = F.mul(u1, i)
+        x3 = F.sub(F.sqr(rr2), F.add(j, F.add(v, v)))
+        s1j = F.mul(s1, j)
+        y3 = F.sub(F.mul(rr2, F.sub(v, x3)), F.add(s1j, s1j))
+        z3 = F.mul(
+            F.sub(F.sqr(F.add(p.z, q.z)), F.add(z1z1, z2z2)), h
+        )
+        generic = JacobianPoint(x3, y3, z3)
+
+        same_x = F.is_zero(h)
+        same_y = F.is_zero(rr)
+        p_inf = self.is_infinity(p)
+        q_inf = self.is_infinity(q)
+
+        dbl = self.double(p)
+        use_dbl = same_x & same_y & ~p_inf & ~q_inf
+        res = self._select_point(use_dbl, dbl, generic)
+        # P == -Q -> infinity
+        inf = self.infinity_like(p)
+        use_inf = same_x & ~same_y & ~p_inf & ~q_inf
+        res = self._select_point(use_inf, inf, res)
+        res = self._select_point(q_inf, p, res)
+        res = self._select_point(p_inf, q, res)
+        return res
+
+    def neg(self, p: JacobianPoint) -> JacobianPoint:
+        return JacobianPoint(p.x, self.F.neg(p.y), p.z)
+
+    def sub(self, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+        return self.add(p, self.neg(q))
+
+    def _select_point(self, mask, a: JacobianPoint, b: JacobianPoint):
+        F = self.F
+        return JacobianPoint(
+            F.select(mask, a.x, b.x),
+            F.select(mask, a.y, b.y),
+            F.select(mask, a.z, b.z),
+        )
+
+    def select(self, mask, a: JacobianPoint, b: JacobianPoint):
+        return self._select_point(mask, a, b)
+
+    def eq(self, p: JacobianPoint, q: JacobianPoint):
+        """Projective equality: cross-multiplied coordinate comparison."""
+        F = self.F
+        z1z1 = F.sqr(p.z)
+        z2z2 = F.sqr(q.z)
+        x_eq = F.eq(F.mul(p.x, z2z2), F.mul(q.x, z1z1))
+        y_eq = F.eq(
+            F.mul(F.mul(p.y, q.z), z2z2), F.mul(F.mul(q.y, p.z), z1z1)
+        )
+        p_inf = self.is_infinity(p)
+        q_inf = self.is_infinity(q)
+        return (p_inf & q_inf) | (~p_inf & ~q_inf & x_eq & y_eq)
+
+    def to_affine(self, p: JacobianPoint):
+        """-> (x, y, is_infinity). Infinity maps to (0, 0, True)."""
+        F = self.F
+        zinv = F.inv(p.z)
+        zinv2 = F.sqr(zinv)
+        x = F.mul(p.x, zinv2)
+        y = F.mul(p.y, F.mul(zinv, zinv2))
+        inf = self.is_infinity(p)
+        return F.select(inf, F.zero_like(x), x), F.select(
+            inf, F.zero_like(y), y
+        ), inf
+
+    # ---- scalar multiplication ----
+    def scalar_mul(self, p: JacobianPoint, scalars_mont) -> JacobianPoint:
+        """Double-and-add over the 255 canonical scalar bits.
+
+        `scalars_mont` is a Montgomery-form Fr batch broadcastable against
+        the point batch (the reference normalizes Fr before kilic's G1 mul
+        the same way, bls/bls_kilic.go:41-45).
+        """
+        bits = fr.scalar_bits(scalars_mont)  # (..., 256)
+        # broadcast point batch against scalar batch
+        shape = jnp.broadcast_shapes(p.x.shape[: p.x.ndim - self._edim],
+                                     bits.shape[:-1])
+        p = JacobianPoint(
+            *(jnp.broadcast_to(c, shape + c.shape[c.ndim - self._edim:])
+              for c in p)
+        )
+        bits = jnp.broadcast_to(bits, shape + (256,))
+
+        acc0 = self.infinity_like(p)
+
+        def body(i, acc):
+            acc = self.double(acc)
+            bit = lax.dynamic_index_in_dim(
+                bits, 254 - i, axis=bits.ndim - 1, keepdims=False
+            )
+            added = self.add(acc, p)
+            return self._select_point(bit == 1, added, acc)
+
+        return lax.fori_loop(0, 255, body, acc0)
+
+    def mul_small(self, p: JacobianPoint, k: int) -> JacobianPoint:
+        """p * k for a small static non-negative integer."""
+        acc = self.infinity_like(p)
+        if k == 0:
+            return acc
+        for bit in bin(k)[2:]:
+            acc = self.double(acc)
+            if bit == "1":
+                acc = self.add(acc, p)
+        return acc

@@ -65,6 +65,14 @@ def zeros(shape=()) -> jnp.ndarray:
     return jnp.zeros(tuple(shape) + (N_LIMBS,), dtype=jnp.uint32)
 
 
+def zero_like(a):
+    return jnp.zeros_like(a)
+
+
+def one_like(a):
+    return jnp.broadcast_to(jnp.asarray(ONE), a.shape)
+
+
 def from_int(values) -> np.ndarray:
     return SPEC.encode(values)
 
