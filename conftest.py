@@ -7,11 +7,19 @@
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment may pre-register a TPU plugin at interpreter start (before
+# this file runs) with JAX_PLATFORMS already pointing at it, so setting the
+# env var alone is not enough — force the platform through the config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
 
 sys.path.insert(0, os.path.dirname(__file__))

@@ -11,6 +11,7 @@ sharded path (kzg_tpu.parallel.msm_sharded).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .weierstrass import JacobianPoint
@@ -37,6 +38,7 @@ def tree_reduce(ops, points: JacobianPoint) -> JacobianPoint:
     return JacobianPoint(points.x[0], points.y[0], points.z[0])
 
 
+@jax.jit
 def lin_comb_g1(points: JacobianPoint, scalars_mont) -> JacobianPoint:
     """MSM: sum_i scalars[i] * points[i]. points: (N,) G1 batch,
     scalars: (N,) Fr Montgomery batch. Returns a single point."""
@@ -44,5 +46,6 @@ def lin_comb_g1(points: JacobianPoint, scalars_mont) -> JacobianPoint:
     return tree_reduce(g1.ops, prods)
 
 
+@jax.jit
 def sum_g1(points: JacobianPoint) -> JacobianPoint:
     return tree_reduce(g1.ops, points)

@@ -93,6 +93,8 @@ class F6:
         return F6(-s.c0, -s.c1, -s.c2)
 
     def __mul__(s, o):
+        if isinstance(o, int):
+            return F6(s.c0 * o, s.c1 * o, s.c2 * o)
         a0, a1, a2 = s.c0, s.c1, s.c2
         b0, b1, b2 = o.c0, o.c1, o.c2
         t0 = a0 * b0
@@ -102,6 +104,8 @@ class F6:
         c1 = (a0 + a1) * (b0 + b1) - t0 - t1 + t2.mul_xi()
         c2 = (a0 + a2) * (b0 + b2) - t0 - t2 + t1
         return F6(c0, c1, c2)
+
+    __rmul__ = __mul__
 
     def sqr(s):
         return s * s
@@ -150,11 +154,15 @@ class F12:
         return F12(-s.c0, -s.c1)
 
     def __mul__(s, o):
+        if isinstance(o, int):
+            return F12(s.c0 * o, s.c1 * o)
         t0 = s.c0 * o.c0
         t1 = s.c1 * o.c1
         c0 = t0 + t1.mul_v()
         c1 = (s.c0 + s.c1) * (o.c0 + o.c1) - t0 - t1
         return F12(c0, c1)
+
+    __rmul__ = __mul__
 
     def sqr(s):
         return s * s

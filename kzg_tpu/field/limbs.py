@@ -81,6 +81,15 @@ class FieldSpec:
         return (-pow(self.modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
 
     @functools.cached_property
+    def nprime(self) -> int:
+        """-modulus^-1 mod R (full-word Montgomery constant)."""
+        return (-pow(self.modulus, -1, self.r)) % self.r
+
+    @functools.cached_property
+    def nprime_limbs(self) -> np.ndarray:
+        return int_to_limbs(self.nprime, self.n_limbs)
+
+    @functools.cached_property
     def mod_limbs(self) -> np.ndarray:
         return int_to_limbs(self.modulus, self.n_limbs)
 
@@ -139,44 +148,89 @@ def _bcast(a, b):
     )
 
 
+def _shift_up(carry):
+    """Move per-limb carries one limb position up; the top carry drops
+    (i.e. arithmetic mod 2^(16L)), matching Montgomery's mod-R semantics."""
+    return jnp.concatenate(
+        [jnp.zeros_like(carry[..., :1]), carry[..., :-1]], axis=-1
+    )
+
+
 def carry_fold(cols):
-    """Propagate carries over the limb axis.
+    """Redundant columns -> canonical limbs (< 2^16), mod 2^(16L).
 
-    cols: uint32[..., K] with entries < 2^32. Returns (limbs, carry_out) where
-    limbs[..., k] < 2^16 and carry_out is whatever spills past the top limb.
+    cols: uint32[..., K] with entries < 2^32 encoding value
+    sum_k cols[k]*2^(16k). Instead of an O(L) sequential carry scan, run
+    the carry-save normalization  v <- (v & mask) + (v >> 16) << 16limb
+    until no carries remain: 2 rounds shrink carries to {0,1}; further
+    rounds only ripple through saturated limbs, so the data-dependent
+    while_loop almost always exits after ~3 full-batch vector steps.
+    Returns (limbs, 0) — the legacy carry-out slot is retired; overflow
+    past the top limb is dropped by construction.
     """
-    v = jnp.moveaxis(cols, -1, 0)
+    def has_carry(v):
+        return jnp.any(v >> LIMB_BITS)
 
-    def step(carry, col):
-        t = col + carry
-        return t >> LIMB_BITS, t & LIMB_MASK
+    def step(v):
+        return (v & LIMB_MASK) + _shift_up(v >> LIMB_BITS)
 
-    carry_out, out = lax.scan(step, jnp.zeros_like(v[0]), v)
-    return jnp.moveaxis(out, 0, -1), carry_out
+    v = lax.while_loop(has_carry, step, cols)
+    return v, jnp.zeros_like(v[..., 0])
+
+
+def _normalize_signed(v):
+    """int32 redundant limbs (non-negative total value) -> canonical uint32.
+
+    Same fixpoint loop with arithmetic shifts, so negative limbs borrow
+    from the next position. Terminates because the represented value is
+    non-negative and magnitudes shrink monotonically.
+    """
+    def has_carry(x):
+        return jnp.any(x >> LIMB_BITS)  # arithmetic: 0 iff 0 <= limb < 2^16
+
+    def step(x):
+        return (x & LIMB_MASK) + _shift_up(x >> LIMB_BITS)
+
+    v = lax.while_loop(has_carry, step, v)
+    return v.astype(U32)
+
+
+def geq(a, b):
+    """Vectorized canonical-limb comparison a >= b -> bool[...].
+
+    Finds the most significant differing limb with an argmax instead of a
+    borrow chain.
+    """
+    diff = a != b
+    any_diff = jnp.any(diff, axis=-1)
+    # argmax of reversed boolean picks the highest differing index
+    idx = (a.shape[-1] - 1) - jnp.argmax(diff[..., ::-1], axis=-1)
+    a_top = jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+    b_top = jnp.take_along_axis(b, idx[..., None], axis=-1)[..., 0]
+    return jnp.where(any_diff, a_top > b_top, True)
 
 
 def sub_borrow(a, b):
-    """Limbwise a - b with borrow chain; limbs must be canonical (< 2^16).
-
-    Returns (diff limbs, borrow_out in {0,1}).
-    """
-    av = jnp.moveaxis(a, -1, 0)
-    bv = jnp.moveaxis(b, -1, 0)
-
-    def step(borrow, ab):
-        ai, bi = ab
-        t = ai - bi - borrow  # uint32 wraparound when negative
-        return t >> 31, t & LIMB_MASK
-
-    borrow_out, out = lax.scan(step, jnp.zeros_like(av[0]), (av, bv))
-    return jnp.moveaxis(out, 0, -1), borrow_out
+    """Limbwise a - b (canonical limbs). Returns (diff mod 2^(16L) limbs,
+    borrow_out in {0,1}). Kept for API parity; now built on the vectorized
+    compare + signed normalization."""
+    borrow = (~geq(a, b)).astype(U32)
+    d = a.astype(jnp.int32) - b.astype(jnp.int32)
+    # if a < b, add R = 2^(16L) (as 2^16 worth of carry on the top limb)
+    # so the total is non-negative before normalizing
+    top = jnp.zeros_like(d)
+    top = top.at[..., -1].set((borrow << LIMB_BITS).astype(jnp.int32))
+    return _normalize_signed(d + top), borrow
 
 
 def _cond_sub_mod(spec: FieldSpec, x):
     """x < 2m with canonical limbs -> x mod m."""
-    mod = jnp.asarray(spec.mod_limbs, dtype=U32)
-    d, borrow = sub_borrow(x, jnp.broadcast_to(mod, x.shape))
-    return jnp.where((borrow == 0)[..., None], d, x)
+    mod = jnp.broadcast_to(jnp.asarray(spec.mod_limbs, dtype=U32), x.shape)
+    need = geq(x, mod)
+    d = x.astype(jnp.int32) - jnp.where(
+        need[..., None], mod, jnp.zeros_like(mod)
+    ).astype(jnp.int32)
+    return _normalize_signed(d)
 
 
 def add(spec: FieldSpec, a, b):
@@ -189,47 +243,86 @@ def add(spec: FieldSpec, a, b):
 def sub(spec: FieldSpec, a, b):
     """(a - b) mod m."""
     a, b = _bcast(a, b)
-    d, borrow = sub_borrow(a, b)
-    mod = jnp.broadcast_to(jnp.asarray(spec.mod_limbs, dtype=U32), d.shape)
-    dm, _ = carry_fold(d + mod)
-    return jnp.where((borrow == 1)[..., None], dm, d)
+    lt = ~geq(a, b)  # a < b: add the modulus back
+    mod = jnp.broadcast_to(jnp.asarray(spec.mod_limbs, dtype=U32), a.shape)
+    d = (
+        a.astype(jnp.int32)
+        - b.astype(jnp.int32)
+        + jnp.where(lt[..., None], mod, jnp.zeros_like(mod)).astype(jnp.int32)
+    )
+    return _normalize_signed(d)
 
 
 def neg(spec: FieldSpec, a):
     return sub(spec, jnp.zeros_like(a), a)
 
 
+@functools.lru_cache(maxsize=None)
+def _diag_indices(L: int) -> tuple:
+    """Static gather indices for anti-diagonal column sums.
+
+    idx_lo[i, k] = (k - i) mod 2L: with the multiplicand row padded to 2L
+    (zeros in positions >= L), take_along_axis(pad, idx_lo)[i, k] equals
+    lo[i, k - i] exactly when row i contributes to column k, else 0.
+    idx_hi shifts one further (the high halves land one limb up).
+    """
+    k = np.arange(2 * L, dtype=np.int32)[None, :]
+    i = np.arange(L, dtype=np.int32)[:, None]
+    idx_lo = (k - i) % (2 * L)
+    idx_hi = (k - i - 1) % (2 * L)
+    return idx_lo, idx_hi
+
+
+def _product_cols(a, b, out_limbs: int | None = None):
+    """Column sums of the full product of two canonical limb vectors.
+
+    a, b: uint32[..., L] with limbs < 2^16. Returns uint32[..., 2L] (or the
+    first `out_limbs` columns) with column k = sum_{i+j=k} a_i*b_j split
+    into carry-save lo/hi halves; every column < 2L * 2^16 << 2^32, so no
+    intermediate carry propagation is needed. One outer product + two
+    static gathers + reductions — compiles to a handful of fused vector
+    ops instead of the 4L scatter-adds of a schoolbook loop.
+    """
+    L = a.shape[-1]
+    prod = a[..., :, None] * b[..., None, :]  # (..., L, L), exact in uint32
+    lo = prod & LIMB_MASK
+    hi = prod >> LIMB_BITS
+    idx_lo, idx_hi = _diag_indices(L)
+    pad_width = [(0, 0)] * (lo.ndim - 1) + [(0, L)]
+    lo_p = jnp.pad(lo, pad_width)  # (..., L, 2L), zeros beyond column L-1
+    hi_p = jnp.pad(hi, pad_width)
+    ilo = jnp.broadcast_to(jnp.asarray(idx_lo), lo_p.shape)
+    ihi = jnp.broadcast_to(jnp.asarray(idx_hi), hi_p.shape)
+    cols = jnp.take_along_axis(lo_p, ilo, axis=-1).sum(
+        axis=-2, dtype=U32
+    ) + jnp.take_along_axis(hi_p, ihi, axis=-1).sum(axis=-2, dtype=U32)
+    if out_limbs is not None:
+        cols = cols[..., :out_limbs]
+    return cols
+
+
 def mont_mul(spec: FieldSpec, a, b):
     """Montgomery product REDC(a*b): (a * b * R^-1) mod m.
 
-    Schoolbook full product with lo/hi-split column accumulation, then
-    digit-serial REDC. All intermediate column values stay < 2^23, so a
-    single uint32 accumulator per column suffices (no 64-bit arithmetic).
+    Full-word Montgomery reduction (all-parallel, no digit-serial loop):
+        T = a*b;  q = (T mod R) * n' mod R;  res = (T + q*m) / R
+    with n' = -m^-1 mod R. Each product uses the carry-save column kernel
+    (_product_cols); the only sequential pieces are the short carry-fold
+    scans over the limb axis.
     """
     a, b = _bcast(a, b)
     L = spec.n_limbs
-    batch = a.shape[:-1]
     mod = jnp.asarray(spec.mod_limbs, dtype=U32)
-    n0 = jnp.uint32(spec.n0)
+    nprime = jnp.asarray(spec.nprime_limbs, dtype=U32)
 
-    # --- full product into 2L columns ---
-    cols = jnp.zeros(batch + (2 * L,), dtype=U32)
-    for i in range(L):
-        p = a[..., i : i + 1] * b  # (..., L), each < 2^32 exactly
-        cols = cols.at[..., i : i + L].add(p & LIMB_MASK)
-        cols = cols.at[..., i + 1 : i + L + 1].add(p >> LIMB_BITS)
-
-    # --- digit-serial Montgomery reduction ---
-    t = cols
-    for i in range(L):
-        m = (t[..., i] * n0) & LIMB_MASK  # exact mod 2^16 despite high bits
-        p = m[..., None] * mod
-        t = t.at[..., i : i + L].add(p & LIMB_MASK)
-        t = t.at[..., i + 1 : i + L + 1].add(p >> LIMB_BITS)
-        # position i is now == 0 (mod 2^16); fold its carry upward and drop it
-        t = t.at[..., i + 1].add(t[..., i] >> LIMB_BITS)
-
-    res, _ = carry_fold(t[..., L:])  # true value < 2m < 2^(16L)
+    t, _ = carry_fold(_product_cols(a, b))  # canonical 2L limbs, T < R^2
+    q_cols = _product_cols(t[..., :L], jnp.broadcast_to(nprime, a.shape),
+                           out_limbs=L)
+    q, _ = carry_fold(q_cols)  # (T mod R) * n' mod R, canonical L limbs
+    qm, _ = carry_fold(_product_cols(q, jnp.broadcast_to(mod, a.shape)))
+    # T + q*m is divisible by R and < 2mR < R^2: drop the low (zero) limbs.
+    s, _ = carry_fold(t + qm)  # columns < 2^17: safe to add then fold
+    res = s[..., L:]
     return _cond_sub_mod(spec, res)
 
 

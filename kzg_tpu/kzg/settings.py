@@ -1,0 +1,149 @@
+"""KZG commitments and single/multi (coset) proofs.
+
+TPU-native counterpart of the reference's KZGSettings layer
+(kzg.go:11-36, kzg_single_proofs.go, kzg_multi_proofs.go): commitments and
+quotient polynomials are batched device work (MSM + FFT + fused field ops);
+the constant-size pairing checks at the end of verification run on host
+over exact integers (kzg_tpu.curve.pairing).
+
+Conventions:
+  * polynomial coefficients / evaluations: device Montgomery limb arrays
+    uint32[n, 16]
+  * points entering/leaving verification: host affine int tuples
+    (a handful of points; the host<->device boundary is the same place the
+    reference crosses from bignum vectors into pairing-engine types)
+  * scalars x, y for verification: Python ints (canonical field values)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import poly
+from ..curve import g1, g2, pairing
+from ..curve.msm import lin_comb_g1
+from ..curve.weierstrass import JacobianPoint
+from ..field import fr
+from ..field.constants import FR_MODULUS
+from ..ntt.domain import FFTSettings
+from ..ntt.fft_fr import fft
+from ..utils import host_ec
+
+
+def _as_affine_g1(pt):
+    """Device JacobianPoint (single) or host affine tuple -> host affine."""
+    if isinstance(pt, JacobianPoint):
+        return g1.to_affine_ints(pt)
+    return pt
+
+
+class KZGSettings:
+    """Holds the FFT domain plus the CRS [s^i]_1, [s^i]_2.
+
+    secret_g1: device JacobianPoint batch (n,)
+    secret_g2_affine: host list of affine Fp2 pairs (pairing side)
+    (reference: KZGSettings, kzg.go:11-36)
+    """
+
+    def __init__(self, fs: FFTSettings, secret_g1: JacobianPoint,
+                 secret_g2_affine, secret_g1_affine=None):
+        n = secret_g1.x.shape[0]
+        if len(secret_g2_affine) != n:
+            raise ValueError("secret g1/g2 length mismatch")
+        self.fs = fs
+        self.secret_g1 = secret_g1
+        self.secret_g2_affine = list(secret_g2_affine)
+        self.secret_g1_affine = (
+            list(secret_g1_affine) if secret_g1_affine is not None else None
+        )
+
+    # ---------------- commitments ----------------
+    def commit_to_poly(self, coeffs) -> JacobianPoint:
+        """MSM of the CRS against the coefficients
+        (reference: CommitToPoly, kzg_single_proofs.go:17-20)."""
+        n = coeffs.shape[0]
+        pts = JacobianPoint(*(c[:n] for c in self.secret_g1))
+        return lin_comb_g1(pts, coeffs)
+
+    def commit_to_eval_poly(self, evals) -> JacobianPoint:
+        """IFFT to coefficient form, then commit
+        (reference: CommitToEvalPoly, kzg_single_proofs.go:12-15)."""
+        return self.commit_to_poly(fft(self.fs, evals, inverse=True))
+
+    # ---------------- single-point proofs ----------------
+    def compute_proof_single(self, coeffs, x0: int,
+                             method: str = "auto") -> JacobianPoint:
+        """Commitment to q(x) = (p(x) - p(x0)) / (x - x0)
+        (reference: ComputeProofSingle, kzg_single_proofs.go:36-54).
+
+        method: "auto" uses the fully-parallel evaluation-domain quotient
+        when n is a power of two and x0 is outside the domain (the random-
+        challenge case); "serial" forces the synthetic-division scan.
+        """
+        n = coeffs.shape[0]
+        z = jnp.asarray(fr.from_int(x0 % FR_MODULUS))
+        pow2 = n & (n - 1) == 0
+        in_domain = pow(x0 % FR_MODULUS, n, FR_MODULUS) == 1 if pow2 else True
+        if method == "auto" and pow2 and not in_domain and n >= 2:
+            q = poly.poly_quotient_on_domain(self.fs, coeffs, z)
+        else:
+            q = poly.poly_factor_div(coeffs, z)
+        return self.commit_to_poly(q)
+
+    def check_proof_single(self, commitment, proof, x: int, y: int) -> bool:
+        """Pairing check e(proof, [s - x]_2) == e(commitment - [y]_1, G2)
+        (reference: CheckProofSingle, kzg_single_proofs.go:57-75)."""
+        c = _as_affine_g1(commitment)
+        pi = _as_affine_g1(proof)
+        s2 = self.secret_g2_affine[1]
+        x2 = host_ec.g2_mul(host_ec.g2_generator(), x % FR_MODULUS)
+        xn2 = host_ec.g2_sub(s2, x2)  # [s - x]_2
+        y1 = host_ec.g1_mul(host_ec.g1_generator(), y % FR_MODULUS)
+        cm = host_ec.g1_sub(c, y1)  # commitment - [y]_1
+        return pairing.pairings_verify(
+            host_ec.g1_neg(cm), host_ec.g2_generator(), pi, xn2
+        )
+
+    # ---------------- multi-point (coset) proofs ----------------
+    def compute_proof_multi(self, coeffs, x0: int, n: int) -> JacobianPoint:
+        """Proof for p on the coset x0 * <w_n>: commitment to
+        q(x) = p(x) / (x^n - x0^n)
+        (reference: ComputeProofMulti, kzg_multi_proofs.go:13-43)."""
+        if n & (n - 1) != 0:
+            raise ValueError("n must be a power of two")
+        xn = pow(x0 % FR_MODULUS, n, FR_MODULUS)
+        divisor = jnp.concatenate(
+            [
+                jnp.asarray(fr.from_int((-xn) % FR_MODULUS))[None, :],
+                fr.zeros((n - 1,)),
+                jnp.asarray(fr.from_int(1))[None, :],
+            ],
+            axis=0,
+        )
+        q = poly.poly_long_div(coeffs, divisor)
+        return self.commit_to_poly(q)
+
+    def check_proof_multi(self, commitment, proof, x: int, ys) -> bool:
+        """Verify p(x*w^i) == ys[i] for all i in one pairing
+        (reference: CheckProofMulti, kzg_multi_proofs.go:47-88).
+
+        ys: device uint32[n, 16] claimed evaluations on the coset, in the
+        domain's natural order.
+        """
+        n = ys.shape[0]
+        # interpolate on the coset: IFFT then unscale by x^-i
+        coset_ifft = fft(self.fs, ys, inverse=True)
+        xinv = pow(x % FR_MODULUS, -1, FR_MODULUS)
+        scale = poly.powers_of(jnp.asarray(fr.from_int(xinv)), n)
+        interp = fr.mul(coset_ifft, scale)
+
+        xn = pow(x % FR_MODULUS, n, FR_MODULUS)
+        xn2 = host_ec.g2_mul(host_ec.g2_generator(), xn)
+        xn_minus = host_ec.g2_sub(self.secret_g2_affine[n], xn2)  # [s^n-x^n]_2
+
+        is1 = self.commit_to_poly(interp)  # [interp(s)]_1
+        cm = host_ec.g1_sub(_as_affine_g1(commitment), _as_affine_g1(is1))
+        return pairing.pairings_verify(
+            host_ec.g1_neg(cm), host_ec.g2_generator(),
+            _as_affine_g1(proof), xn_minus,
+        )
