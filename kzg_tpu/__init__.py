@@ -11,3 +11,11 @@ API. Sharded execution over a `jax.sharding.Mesh` lives in `kzg_tpu.parallel`.
 __version__ = "0.1.0"
 
 from . import field  # noqa: F401
+from . import poly  # noqa: F401
+from . import ntt  # noqa: F401
+from . import curve  # noqa: F401
+from . import kzg  # noqa: F401
+from . import fk20  # noqa: F401
+from . import das  # noqa: F401
+from . import eth  # noqa: F401
+from . import utils  # noqa: F401

@@ -1,0 +1,126 @@
+"""Erasure-coded data recovery from partial evaluations.
+
+Reference: RecoverPolyFromSamples / ShiftPoly / UnshiftPoly
+(recover_from_samples.go:9-109) and the legacy randomized
+ErasureCodeRecover (legacy_recovery.go:162-283).
+
+Given >= 1/2 of the evaluations of a polynomial on a power-of-two domain
+(the DAS extended data), reconstruct all of them:
+
+    (p*Z)  =  IFFT(samples_masked * Z_evals)          Z = zero poly of the
+    p      =  unshift( FFT(shift(p*Z)) / FFT(shift(Z)) )   missing set
+
+The coset shift by a small factor k moves the evaluation points off the
+domain so the division is well-defined; the reference uses k=5 and a
+random k with retries in the legacy path. Unlike the reference's
+per-element InvModFr loop (recover_from_samples.go:88-91), the pointwise
+division batches one Fermat-ladder inverse over the whole array.
+
+Sample availability is host knowledge: `missing` masks/indices are host
+data, everything else runs on device.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import poly
+from ..field import fr
+from ..field.constants import FR_MODULUS
+from ..ntt.domain import FFTSettings
+from ..ntt.fft_fr import fft
+from .zero_poly import zero_poly_via_multiplication
+
+SHIFT_FACTOR = 5  # reference: recover_from_samples.go:9 (shiftFactor)
+
+
+def shift_poly(coeffs, factor: int = SHIFT_FACTOR):
+    """p(x) -> p(k*x): scale coefficient i by k^i
+    (reference: ShiftPoly, recover_from_samples.go:9-21)."""
+    n = coeffs.shape[-2]
+    scale = poly.powers_of(jnp.asarray(fr.from_int(factor)), n)
+    return fr.mul(coeffs, scale)
+
+
+def unshift_poly(coeffs, factor: int = SHIFT_FACTOR):
+    """p(x) -> p(x/k) (reference: UnshiftPoly,
+    recover_from_samples.go:24-40)."""
+    inv = pow(factor, -1, FR_MODULUS)
+    return shift_poly(coeffs, inv)
+
+
+def _recover_with_shift(fs: FFTSettings, samples, missing_idx, n: int,
+                        shift: int):
+    """Core pipeline with a given coset shift factor. Returns the
+    recovered evaluation vector uint32[n, 16]."""
+    zero_eval, zero_coeffs = zero_poly_via_multiplication(fs, missing_idx, n)
+    # mask missing lanes to 0, then weight by Z evals: (p*Z) on the domain
+    mask = np.zeros(n, dtype=bool)
+    mask[missing_idx] = True
+    mask_dev = jnp.asarray(mask)
+    masked = fr.select(mask_dev, fr.zeros((n,)), samples)
+    pz_evals = fr.mul(masked, zero_eval)
+    pz = fft(fs, pz_evals, inverse=True)
+
+    shifted_pz = shift_poly(pz, shift)
+    shifted_z = shift_poly(zero_coeffs, shift)
+    eval_pz = fft(fs, shifted_pz)
+    eval_z = fft(fs, shifted_z)
+    eval_p = fr.mul(eval_pz, fr.inv(eval_z))  # batched inverse
+    shifted_p = fft(fs, eval_p, inverse=True)
+    p_coeffs = unshift_poly(shifted_p, shift)
+    return fft(fs, p_coeffs), eval_z
+
+
+def recover_poly_from_samples(fs: FFTSettings, samples, missing_indices):
+    """Reconstruct the full evaluation vector
+    (reference: RecoverPolyFromSamples, recover_from_samples.go:42-109).
+
+    samples: uint32[n, 16] evaluations with arbitrary values in the
+    missing lanes. missing_indices: host ints. Returns uint32[n, 16].
+    Raises if the result disagrees with the given samples (the reference's
+    self-check, recover_from_samples.go:103-107).
+    """
+    n = samples.shape[0]
+    if len(missing_indices) > n // 2:
+        raise ValueError("cannot recover from more than n/2 missing samples")
+    if pow(SHIFT_FACTOR, n, FR_MODULUS) == 1:
+        raise ValueError("shift factor lies in the evaluation domain")
+    recovered, _ = _recover_with_shift(
+        fs, samples, list(missing_indices), n, SHIFT_FACTOR
+    )
+    mask = np.ones(n, dtype=bool)
+    mask[list(missing_indices)] = False
+    ok = bool(jnp.all(fr.eq(recovered, samples) | ~jnp.asarray(mask)))
+    if not ok:
+        raise ValueError("recovery self-check failed: inconsistent samples")
+    return recovered
+
+
+def erasure_code_recover(fs: FFTSettings, samples, missing_indices,
+                         seed: int = 42, max_tries: int = 10):
+    """Legacy-parity recovery with a randomized coset shift and retries
+    (reference: ErasureCodeRecover, legacy_recovery.go:162-283, which
+    draws random k until the shifted zero poly is invertible everywhere).
+    Same result as recover_poly_from_samples; kept for API parity and as
+    an independent cross-check path.
+    """
+    n = samples.shape[0]
+    if len(missing_indices) > n // 2:
+        raise ValueError("cannot recover from more than n/2 missing samples")
+    rng = np.random.default_rng(seed)
+    for _ in range(max_tries):
+        k = int(rng.integers(2, 1 << 30))
+        if pow(k, n, FR_MODULUS) == 1:
+            continue  # k in the domain: shifted zero poly still vanishes
+        recovered, eval_z = _recover_with_shift(
+            fs, samples, list(missing_indices), n, k
+        )
+        if bool(jnp.any(fr.is_zero(eval_z))):
+            continue  # bad shift, retry with new k
+        mask = np.ones(n, dtype=bool)
+        mask[list(missing_indices)] = False
+        if bool(jnp.all(fr.eq(recovered, samples) | ~jnp.asarray(mask))):
+            return recovered
+    raise ValueError("erasure recovery failed after retries")

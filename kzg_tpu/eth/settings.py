@@ -1,0 +1,134 @@
+"""EIP-4844 settings: trusted setup loading and the bit-reversed domain.
+
+Reference: eth/globals.go:39-72 — at init the reference JSON-parses its
+embedded 2MB ceremony file, bit-reversal-permutes the Lagrange CRS and
+builds the 4096-point bit-reversed evaluation domain.
+
+Here the same state lives in an explicit `EthSettings` object (no import-
+time globals): the Lagrange CRS as a device point batch ready for MSM, the
+domain as both host ints (transcripts, exact checks) and device Montgomery
+limbs (barycentric evaluation), and [s]_2 for the pairing check. Loadable
+from a ceremony JSON (`from_json`, same schema as the reference's
+trusted_setup.json) or generated insecurely for tests (`insecure`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..curve import g1 as g1mod
+from ..curve import serialization
+from ..field import fr
+from ..field.constants import FR_MODULUS, fr_scale2_root_of_unity
+from ..ntt.bitrev import bit_reversal_indices
+
+FIELD_ELEMENTS_PER_BLOB = 4096
+
+
+class EthSettings:
+    """Holds everything the EIP-4844 spec functions need.
+
+    width: field elements per blob (4096 in production; tests may shrink)
+    lagrange_brp: device G1 batch — Lagrange CRS, bit-reversal permuted
+    setup_g2_1: host affine Fp2 pair — [s]_2
+    domain_ints: host list — w^rev(i) for i in range(width)
+    domain: device uint32[width, 16] — same, Montgomery form
+    setup_g1_affine: optional host monomial CRS (tests / proof creation)
+    """
+
+    def __init__(self, width: int, lagrange_affine, setup_g2_1,
+                 setup_g1_affine=None):
+        if width & (width - 1) != 0:
+            raise ValueError("width must be a power of two")
+        self.width = width
+        root = fr_scale2_root_of_unity(width.bit_length() - 1)
+        rev = bit_reversal_indices(width)
+        self.domain_ints = [
+            pow(root, int(rev[i]), FR_MODULUS) for i in range(width)
+        ]
+        self.domain_set = set(self.domain_ints)
+        self.domain = jnp.asarray(fr.from_int(self.domain_ints))
+        self.width_inv = jnp.asarray(
+            fr.from_int(pow(width, -1, FR_MODULUS))
+        )
+        self.lagrange_affine_brp = [lagrange_affine[int(i)] for i in rev]
+        self.lagrange_brp = g1mod.from_affine_ints(self.lagrange_affine_brp)
+        self.setup_g2_1 = setup_g2_1
+        self.setup_g1_affine = setup_g1_affine
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_json(cls, path: str) -> "EthSettings":
+        """Load a ceremony file with the reference's schema
+        (eth/globals.go:33-37): {"setup_G1": [hex48...], "setup_G2":
+        [hex96...], "setup_G1_lagrange": [hex48...]}, points compressed."""
+        with open(path) as f:
+            data = json.load(f)
+        lagrange = [
+            serialization.g1_from_hex(h) for h in data["setup_G1_lagrange"]
+        ]
+        g2_1 = serialization.g2_from_hex(data["setup_G2"][1])
+        setup_g1 = (
+            [serialization.g1_from_hex(h) for h in data["setup_G1"]]
+            if "setup_G1" in data
+            else None
+        )
+        return cls(len(lagrange), lagrange, g2_1, setup_g1)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def insecure(cls, secret: int, width: int) -> "EthSettings":
+        """Testing-only setup from a known secret (the eth-layer analogue
+        of GenerateTestingSetup, setup.go:9-26). The Lagrange points are
+        computed directly as [L_i(s)]_1 with
+            L_i(s) = w^i (s^width - 1) / (width (s - w^i))
+        on host integers, cached on disk."""
+        from ..utils import host_ec
+
+        key = hashlib.sha256(f"eth:{secret}:{width}".encode()).hexdigest()[:24]
+        cache = os.environ.get(
+            "KZG_TPU_CACHE",
+            os.path.join(os.path.dirname(__file__), "..", "..", ".cache"),
+        )
+        os.makedirs(cache, exist_ok=True)
+        path = os.path.join(cache, f"ethsetup_{key}.npz")
+        root = fr_scale2_root_of_unity(width.bit_length() - 1)
+        if os.path.exists(path):
+            z = np.load(path)
+            lagrange = [
+                (int.from_bytes(bytes(r[:48]), "big"),
+                 int.from_bytes(bytes(r[48:96]), "big"))
+                for r in z["lag"]
+            ]
+            s1 = [
+                (int.from_bytes(bytes(r[:48]), "big"),
+                 int.from_bytes(bytes(r[48:96]), "big"))
+                for r in z["s1"]
+            ]
+        else:
+            g = host_ec.g1_generator()
+            sw = pow(secret, width, FR_MODULUS)
+            num = (sw - 1) * pow(width, -1, FR_MODULUS) % FR_MODULUS
+            lagrange, s1 = [], []
+            power = 1
+            for i in range(width):
+                wi = pow(root, i, FR_MODULUS)
+                li = wi * num * pow(secret - wi, -1, FR_MODULUS) % FR_MODULUS
+                lagrange.append(host_ec.g1_mul(g, li))
+                s1.append(host_ec.g1_mul(g, power))
+                power = power * secret % FR_MODULUS
+            buf_l = np.zeros((width, 96), dtype=np.uint8)
+            buf_s = np.zeros((width, 96), dtype=np.uint8)
+            for i, ((lx, ly), (sx, sy)) in enumerate(zip(lagrange, s1)):
+                buf_l[i, :48] = list(lx.to_bytes(48, "big"))
+                buf_l[i, 48:] = list(ly.to_bytes(48, "big"))
+                buf_s[i, :48] = list(sx.to_bytes(48, "big"))
+                buf_s[i, 48:] = list(sy.to_bytes(48, "big"))
+            np.savez_compressed(path, lag=buf_l, s1=buf_s)
+        g2_1 = host_ec.g2_mul(host_ec.g2_generator(), secret % FR_MODULUS)
+        return cls(width, lagrange, g2_1, s1)

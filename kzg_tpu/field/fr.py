@@ -151,6 +151,50 @@ def to_bytes32_le(fr_limb) -> bytes:
     return int(SPEC.decode(np.asarray(fr_limb))[()]).to_bytes(32, "little")
 
 
+def valid_bytes32_batch(data) -> np.ndarray:
+    """Vectorized ValidFr over N 32-byte LE chunks.
+
+    data: bytes of length N*32 (or uint8 array). Returns bool[N].
+    """
+    buf = np.frombuffer(bytes(data), dtype="<u2").reshape(-1, N_LIMBS)
+    mod = SPEC.mod_limbs.astype(np.uint16)
+    diff = buf != mod[None, :]
+    any_diff = diff.any(axis=1)
+    # most significant differing limb decides the comparison
+    idx = (N_LIMBS - 1) - np.argmax(diff[:, ::-1], axis=1)
+    rows = np.arange(buf.shape[0])
+    less = buf[rows, idx] < mod[idx]
+    return np.where(any_diff, less, False)  # equal to modulus -> invalid
+
+
+def from_bytes32_batch(data):
+    """N*32 little-endian bytes -> (Montgomery device array uint32[N, 16],
+    valid bool[N]). Invalid rows are returned as-is mod nothing — callers
+    must check the mask (the eth layer rejects whole blobs on any invalid
+    element, eth/helpers.go:264-273)."""
+    import jax.numpy as jnp
+
+    buf = (
+        np.frombuffer(bytes(data), dtype="<u2")
+        .reshape(-1, N_LIMBS)
+        .astype(np.uint32)
+    )
+    valid = valid_bytes32_batch(data)
+    r2 = jnp.asarray(SPEC.r2_limbs)
+    mont = limbs.mont_mul(SPEC, jnp.asarray(buf), r2)
+    return mont, valid
+
+
+def to_bytes32_batch(arr) -> np.ndarray:
+    """Montgomery device array uint32[..., 16] -> uint8[..., 32] canonical
+    little-endian bytes (vectorized FrTo32)."""
+    canon = np.asarray(
+        jax.device_get(limbs.from_mont(SPEC, arr)), dtype=np.uint32
+    )
+    u16 = canon.astype("<u2")
+    return u16.view(np.uint8).reshape(canon.shape[:-1] + (32,))
+
+
 # jitted standalone versions for direct use
 jit_add = jax.jit(add)
 jit_sub = jax.jit(sub)
