@@ -81,6 +81,10 @@ def recover_poly_from_samples(fs: FFTSettings, samples, missing_indices):
     missing lanes. missing_indices: host ints. Returns uint32[n, 16].
     Raises if the result disagrees with the given samples (the reference's
     self-check, recover_from_samples.go:103-107).
+
+    Requires deg(p) + len(missing) < n — i.e. the data must actually be
+    redundant (a DAS-extended polynomial has deg < n/2, tolerating up to
+    n/2 missing). Otherwise (p*Z) aliases under the length-n IFFT.
     """
     n = samples.shape[0]
     if len(missing_indices) > n // 2:

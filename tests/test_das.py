@@ -1,0 +1,130 @@
+"""Zero polynomial and erasure recovery tests vs the exact oracle.
+
+Mirrors the reference's property tests: tree-reduced zero poly vs direct
+construction (zero_poly_test.go:51-131) and recovery roundtrips with
+seeded RNG over several missing ratios
+(recover_from_samples_test.go:94-136).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from kzg_tpu.das import (
+    erasure_code_recover,
+    recover_poly_from_samples,
+    shift_poly,
+    unshift_poly,
+)
+from kzg_tpu.das.zero_poly import zero_poly_via_multiplication
+from kzg_tpu.field import fr
+from kzg_tpu.ntt import FFTSettings
+
+MOD = fr.SPEC.modulus
+
+
+@pytest.mark.parametrize("scale,ratio", [(4, 0.25), (5, 0.5), (6, 0.75)])
+def test_zero_poly_vs_oracle(scale, ratio):
+    fs = FFTSettings(scale + 1)
+    n = 1 << scale
+    rng = np.random.default_rng(scale)
+    m = max(1, int(n * ratio))
+    if m >= n:
+        m = n - 1
+    missing = sorted(rng.choice(n, size=m, replace=False).tolist())
+    ze, zc = zero_poly_via_multiplication(fs, missing, n)
+    exp_evals, exp_coeffs = oracle.zero_poly(missing, n, fs.max_width)
+    assert [int(v) for v in fr.to_int(ze)] == exp_evals
+    assert [int(v) for v in fr.to_int(zc)] == exp_coeffs
+
+
+def test_zero_poly_empty():
+    fs = FFTSettings(4)
+    ze, zc = zero_poly_via_multiplication(fs, [], 16)
+    assert [int(v) for v in fr.to_int(ze)] == [1] * 16
+    assert [int(v) for v in fr.to_int(zc)] == [1] + [0] * 15
+
+
+def test_zero_poly_single_index():
+    fs = FFTSettings(4)
+    ze, zc = zero_poly_via_multiplication(fs, [3], 16)
+    exp_evals, exp_coeffs = oracle.zero_poly([3], 16, 16)
+    assert [int(v) for v in fr.to_int(ze)] == exp_evals
+    assert [int(v) for v in fr.to_int(zc)] == exp_coeffs
+
+
+def test_shift_unshift_roundtrip():
+    vals = [int(np.random.default_rng(0).integers(0, 2**60)) for _ in range(8)]
+    arr = jnp.asarray(fr.from_int(vals))
+    back = unshift_poly(shift_poly(arr))
+    assert [int(v) for v in fr.to_int(back)] == vals
+
+
+@pytest.mark.parametrize("seed,known_ratio", [(1, 0.5), (2, 0.7), (3, 0.95)])
+def test_recover_poly_from_samples(seed, known_ratio):
+    # the data must be an erasure code: degree < n/2 (a DAS-extended
+    # polynomial), so that deg(p) + missing < n
+    scale = 5
+    fs = FFTSettings(scale + 1)
+    n = 1 << scale
+    rng = np.random.default_rng(seed)
+    coeffs_int = [int(rng.integers(0, 2**62)) % MOD
+                  for _ in range(n // 2)] + [0] * (n // 2)
+    evals = oracle.fft(coeffs_int)
+    n_missing = n - int(n * known_ratio)
+    n_missing = min(n_missing, n // 2)
+    missing = sorted(rng.choice(n, size=n_missing, replace=False).tolist())
+    samples = list(evals)
+    for i in missing:
+        samples[i] = 0  # garbage value in missing lanes
+    rec = recover_poly_from_samples(
+        fs, jnp.asarray(fr.from_int(samples)), missing)
+    assert [int(v) for v in fr.to_int(rec)] == evals
+
+
+def test_recover_is_erasure_only():
+    # Erasure decoding interpolates whatever samples it is given: a
+    # corrupted known sample is reproduced verbatim (the decoder cannot
+    # detect errors, only fill erasures — same contract as the reference,
+    # whose self-check at recover_from_samples.go:103-107 is defensive).
+    scale = 4
+    fs = FFTSettings(scale + 1)
+    n = 1 << scale
+    rng = np.random.default_rng(9)
+    coeffs_int = [int(rng.integers(0, 2**62)) % MOD
+                  for _ in range(n // 2)] + [0] * (n // 2)
+    evals = oracle.fft(coeffs_int)
+    missing = [0, 3]
+    samples = list(evals)
+    samples[7] = (samples[7] + 1) % MOD  # corrupt a known sample
+    rec = recover_poly_from_samples(
+        fs, jnp.asarray(fr.from_int(samples)), missing)
+    got = [int(v) for v in fr.to_int(rec)]
+    for i in range(n):
+        if i not in missing:
+            assert got[i] == samples[i]
+
+
+def test_erasure_code_recover_legacy_parity():
+    scale = 4
+    fs = FFTSettings(scale + 1)
+    n = 1 << scale
+    rng = np.random.default_rng(4)
+    coeffs_int = [int(rng.integers(0, 2**62)) % MOD
+                  for _ in range(n // 2)] + [0] * (n // 2)
+    evals = oracle.fft(coeffs_int)
+    missing = sorted(rng.choice(n, size=n // 2, replace=False).tolist())
+    samples = list(evals)
+    for i in missing:
+        samples[i] = 0
+    rec = erasure_code_recover(
+        fs, jnp.asarray(fr.from_int(samples)), missing)
+    assert [int(v) for v in fr.to_int(rec)] == evals
+
+
+def test_recover_too_many_missing_raises():
+    fs = FFTSettings(5)
+    samples = jnp.asarray(fr.from_int(list(range(16))))
+    with pytest.raises(ValueError):
+        recover_poly_from_samples(fs, samples, list(range(9)))
