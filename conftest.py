@@ -22,4 +22,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 
+# Persistent compilation cache: the suite is compile-dominated (hundreds of
+# distinct static shapes); caching XLA executables across pytest runs cuts
+# repeat wall-clock by an order of magnitude.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".cache", "jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 sys.path.insert(0, os.path.dirname(__file__))

@@ -316,7 +316,16 @@ def pairing(p_affine, q_affine, final_exp: bool = True) -> F12:
 
 def pairings_verify(a1, a2, b1, b2) -> bool:
     """e(a1, a2) * e(b1, b2) == 1 (reference: PairingsVerify,
-    bls/bls_kilic.go:153-158). Points in affine int form (None = infinity)."""
+    bls/bls_kilic.go:153-158). Points in affine int form (None = infinity).
+
+    Dispatches to the native C++ engine (native/pairing.cpp via
+    kzg_tpu.curve.pairing_native) when built; this exact-Python tower is
+    the always-available fallback and differential oracle.
+    """
+    from . import pairing_native
+
+    if pairing_native.available():
+        return pairing_native.pairings_verify(a1, a2, b1, b2)
     f1 = miller_loop(_g2_to_fp12(a2), _g1_to_fp12(a1))
     f2 = miller_loop(_g2_to_fp12(b2), _g1_to_fp12(b1))
     return final_exponentiation(f1 * f2).is_one()

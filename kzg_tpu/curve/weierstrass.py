@@ -151,14 +151,77 @@ class CurveOps:
 
     # ---- scalar multiplication ----
     def scalar_mul(self, p: JacobianPoint, scalars_mont) -> JacobianPoint:
-        """Double-and-add over the 255 canonical scalar bits.
+        """Fixed 4-bit-window multiplication over the canonical scalar.
+
+        Builds the 16-entry multiples table [O, P, 2P, ..., 15P] once per
+        batch element (15 adds), then runs 64 windows of 4 fused doublings
+        plus one table-gathered addition — ~256 doubles + 79 adds instead
+        of the naive ladder's 255 doubles + 255 adds + selects.
 
         `scalars_mont` is a Montgomery-form Fr batch broadcastable against
         the point batch (the reference normalizes Fr before kilic's G1 mul
         the same way, bls/bls_kilic.go:41-45).
         """
-        bits = fr.scalar_bits(scalars_mont)  # (..., 256)
+        windows = fr.scalar_windows(scalars_mont)  # (..., 64), 4-bit values
         # broadcast point batch against scalar batch
+        shape = jnp.broadcast_shapes(p.x.shape[: p.x.ndim - self._edim],
+                                     windows.shape[:-1])
+        p = JacobianPoint(
+            *(jnp.broadcast_to(c, shape + c.shape[c.ndim - self._edim:])
+              for c in p)
+        )
+        windows = jnp.broadcast_to(windows, shape + (64,)).astype(jnp.int32)
+
+        # multiples table along a fresh leading axis: (16, ..., elem),
+        # built with a fori_loop so the add traces once
+        inf = self.infinity_like(p)
+        table0 = JacobianPoint(
+            *(jnp.concatenate([
+                getattr(inf, c)[None],
+                getattr(p, c)[None],
+                jnp.zeros((14,) + getattr(p, c).shape,
+                          dtype=getattr(p, c).dtype),
+            ], axis=0) for c in ("x", "y", "z"))
+        )
+
+        def tb(k, tbl):
+            prev = JacobianPoint(
+                *(lax.dynamic_index_in_dim(c, k - 1, axis=0, keepdims=False)
+                  for c in tbl)
+            )
+            nxt = self.add(prev, p)
+            return JacobianPoint(
+                *(lax.dynamic_update_index_in_dim(c, getattr(nxt, n), k,
+                                                  axis=0)
+                  for c, n in zip(tbl, ("x", "y", "z")))
+            )
+
+        table = lax.fori_loop(2, 16, tb, table0)
+
+        def gather_entry(w):
+            """Select table[w] per batch element; w: int32[...]."""
+            idx = w.reshape((1,) + w.shape + (1,) * self._edim)
+            return JacobianPoint(
+                *(jnp.take_along_axis(
+                    c, jnp.broadcast_to(idx, (1,) + c.shape[1:]), axis=0
+                )[0] for c in table)
+            )
+
+        acc0 = self.infinity_like(p)
+
+        def body(i, acc):
+            acc = lax.fori_loop(0, 4, lambda _, a: self.double(a), acc)
+            w = lax.dynamic_index_in_dim(
+                windows, 63 - i, axis=windows.ndim - 1, keepdims=False
+            )
+            return self.add(acc, gather_entry(w))
+
+        return lax.fori_loop(0, 64, body, acc0)
+
+    def scalar_mul_ladder(self, p: JacobianPoint, scalars_mont) -> JacobianPoint:
+        """Reference bit-serial double-and-add ladder (kept for
+        differential testing and benchmarking against the windowed path)."""
+        bits = fr.scalar_bits(scalars_mont)  # (..., 256)
         shape = jnp.broadcast_shapes(p.x.shape[: p.x.ndim - self._edim],
                                      bits.shape[:-1])
         p = JacobianPoint(
@@ -166,7 +229,6 @@ class CurveOps:
               for c in p)
         )
         bits = jnp.broadcast_to(bits, shape + (256,))
-
         acc0 = self.infinity_like(p)
 
         def body(i, acc):

@@ -88,6 +88,18 @@ def zeros(shape=()) -> jnp.ndarray:
     return jnp.zeros(tuple(shape) + (N_LIMBS,), dtype=jnp.uint32)
 
 
+def scalar_windows(a_mont):
+    """Canonical 4-bit window decomposition of Montgomery-form scalars.
+
+    Returns uint32[..., 64] with window i = (a >> 4i) & 0xF (LSB-first).
+    Feeds the curve layer's fixed-window scalar multiplication.
+    """
+    canon = limbs.from_mont(SPEC, a_mont)  # (..., 16) canonical limbs
+    shifts = jnp.asarray([0, 4, 8, 12], dtype=jnp.uint32)
+    wins = (canon[..., :, None] >> shifts) & 0xF  # (..., 16, 4)
+    return wins.reshape(canon.shape[:-1] + (64,))
+
+
 def scalar_bits(a_mont):
     """Canonical bit decomposition of Montgomery-form scalars.
 
