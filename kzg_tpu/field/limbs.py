@@ -309,7 +309,16 @@ def mont_mul(spec: FieldSpec, a, b):
     with n' = -m^-1 mod R. Each product uses the carry-save column kernel
     (_product_cols); the only sequential pieces are the short carry-fold
     scans over the limb axis.
+
+    Dispatches to the fused Pallas TPU kernel when the "pallas" field
+    backend is selected (kzg_tpu.field.backend).
     """
+    from .backend import field_backend
+
+    if field_backend() == "pallas":
+        from .pallas_mul import mont_mul_pallas
+
+        return mont_mul_pallas(spec, a, b)
     a, b = _bcast(a, b)
     L = spec.n_limbs
     mod = jnp.asarray(spec.mod_limbs, dtype=U32)

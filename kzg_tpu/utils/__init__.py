@@ -1,1 +1,1 @@
-from . import host_ec  # noqa: F401
+from . import debug, host_ec, profiling  # noqa: F401
