@@ -22,6 +22,9 @@ def main():
 
     from kzg_tpu.field import fr
     from kzg_tpu.ntt import FFTSettings, fft
+    from kzg_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     n = 1 << SCALE
     fs = FFTSettings(SCALE)

@@ -65,6 +65,9 @@ def main():
     from kzg_tpu.field import fr
     from kzg_tpu.ntt import FFTSettings, fft
     from kzg_tpu.ntt.das import das_fft_extension
+    from kzg_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     rng = np.random.default_rng(0)
     fr_scales = [8, 12] if args.quick else [8, 12, 15]

@@ -83,9 +83,11 @@ class FFTSettings:
         return _expanded_roots_int(self.max_scale)
 
     def inv_length(self, n: int) -> jnp.ndarray:
-        """Montgomery limbs of n^-1 mod r (scalar, cached)."""
+        """Montgomery limbs of n^-1 mod r (scalar, cached).
+
+        The cache holds host arrays (never traced values) so that a first
+        call from inside a jit trace cannot poison later eager calls.
+        """
         if n not in self._inv_len_cache:
-            self._inv_len_cache[n] = jnp.asarray(
-                fr.from_int(pow(n, -1, FR_MODULUS))
-            )
-        return self._inv_len_cache[n]
+            self._inv_len_cache[n] = fr.from_int(pow(n, -1, FR_MODULUS))
+        return jnp.asarray(self._inv_len_cache[n])

@@ -128,3 +128,45 @@ def test_recover_too_many_missing_raises():
     samples = jnp.asarray(fr.from_int(list(range(16))))
     with pytest.raises(ValueError):
         recover_poly_from_samples(fs, samples, list(range(9)))
+
+
+# Golden vectors from the reference (zero_poly_test.go:151-197, themselves
+# "produced from python implementation"): missing = indices of False in
+# the exists mask, width 16.
+GOLDEN_ZP_MISSING = [1, 2, 4, 7, 8, 9, 12, 14]
+GOLDEN_ZP_EVAL = [
+    "40868503138626303263713448452028063093974861640573380501185290423282553381059",
+    "0",
+    "0",
+    "9059493333851894280622930192031068801018187410981018272280547403745554404951",
+    "0",
+    "589052107338478098858761185551735055781651813398303959420821217298541933174",
+    "1980700778768058987161339158728243463014673552245301202287722613196911807966",
+    "0",
+    "0",
+    "0",
+    "48588946696503834689243119316363329218956542308951664733900338765742108388091",
+    "17462668815085674001076443909983570919844170615339489499875900337907893054793",
+    "0",
+    "32986316229085390499922301497961243665601583888595873281538162159212447231217",
+    "0",
+    "31340620128536760059637470141592017333700483773455661424257920684057136952965",
+]
+GOLDEN_ZP_POLY = [
+    "37647706414300369857238608619982937390838535937985112215973498325246987289395",
+    "2249310547870908874251949653552971443359134481191188461034956129255788965773",
+    "14214218681578879810156974734536988864583938194339599855352132142401756507144",
+    "11562429031388751544281783289945994468702719673309534612868555280828261838388",
+    "38114263339263944057999429128256535679768370097817780187577397655496877536510",
+    "21076784030567214561538347586500535789557219054084066119912281151549494675620",
+    "9111875896859243625633322505516518368332415340935654725595105138403527134249",
+    "11763665547049371891508513950107512764213633861965719968078681999977021803005",
+    "1", "0", "0", "0", "0", "0", "0", "0",
+]
+
+
+def test_zero_poly_reference_golden_vector():
+    fs = FFTSettings(4)
+    ze, zc = zero_poly_via_multiplication(fs, GOLDEN_ZP_MISSING, 16)
+    assert [str(v) for v in fr.to_int(ze)] == GOLDEN_ZP_EVAL
+    assert [str(v) for v in fr.to_int(zc)] == GOLDEN_ZP_POLY
