@@ -22,6 +22,9 @@ data, everything else runs on device.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,10 +32,31 @@ from .. import poly
 from ..field import fr
 from ..field.constants import FR_MODULUS
 from ..ntt.domain import FFTSettings
-from ..ntt.fft_fr import fft
+from ..ntt.fft_fr import _fft_core, fft
 from .zero_poly import zero_poly_via_multiplication
 
 SHIFT_FACTOR = 5  # reference: recover_from_samples.go:9 (shiftFactor)
+
+
+@functools.partial(jax.jit, static_argnames=("max_width",))
+def _recover_core(samples, missing_mask, zero_eval, zero_coeffs,
+                  shift_mont, shift_inv_mont, roots, rev_roots, inv_n,
+                  max_width: int):
+    """The whole shift-divide-unshift pipeline as one compiled dispatch."""
+    n = samples.shape[0]
+    masked = fr.select(missing_mask, fr.zeros((n,)), samples)
+    pz_evals = fr.mul(masked, zero_eval)
+    pz = _fft_core(pz_evals, rev_roots, inv_n, max_width=max_width)
+    scale = poly.powers_of(shift_mont, n)
+    scale_inv = poly.powers_of(shift_inv_mont, n)
+    eval_pz = _fft_core(fr.mul(pz, scale), roots, None, max_width=max_width)
+    eval_z = _fft_core(fr.mul(zero_coeffs, scale), roots, None,
+                       max_width=max_width)
+    eval_p = fr.mul(eval_pz, fr.inv(eval_z))  # batched inverse
+    shifted_p = _fft_core(eval_p, rev_roots, inv_n, max_width=max_width)
+    p_coeffs = fr.mul(shifted_p, scale_inv)
+    recovered = _fft_core(p_coeffs, roots, None, max_width=max_width)
+    return recovered, eval_z
 
 
 def shift_poly(coeffs, factor: int = SHIFT_FACTOR):
@@ -55,22 +79,15 @@ def _recover_with_shift(fs: FFTSettings, samples, missing_idx, n: int,
     """Core pipeline with a given coset shift factor. Returns the
     recovered evaluation vector uint32[n, 16]."""
     zero_eval, zero_coeffs = zero_poly_via_multiplication(fs, missing_idx, n)
-    # mask missing lanes to 0, then weight by Z evals: (p*Z) on the domain
     mask = np.zeros(n, dtype=bool)
     mask[missing_idx] = True
-    mask_dev = jnp.asarray(mask)
-    masked = fr.select(mask_dev, fr.zeros((n,)), samples)
-    pz_evals = fr.mul(masked, zero_eval)
-    pz = fft(fs, pz_evals, inverse=True)
-
-    shifted_pz = shift_poly(pz, shift)
-    shifted_z = shift_poly(zero_coeffs, shift)
-    eval_pz = fft(fs, shifted_pz)
-    eval_z = fft(fs, shifted_z)
-    eval_p = fr.mul(eval_pz, fr.inv(eval_z))  # batched inverse
-    shifted_p = fft(fs, eval_p, inverse=True)
-    p_coeffs = unshift_poly(shifted_p, shift)
-    return fft(fs, p_coeffs), eval_z
+    return _recover_core(
+        samples, jnp.asarray(mask), zero_eval, zero_coeffs,
+        jnp.asarray(fr.from_int(shift)),
+        jnp.asarray(fr.from_int(pow(shift, -1, FR_MODULUS))),
+        fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
+        fs.inv_length(n), max_width=fs.max_width,
+    )
 
 
 def recover_poly_from_samples(fs: FFTSettings, samples, missing_indices):

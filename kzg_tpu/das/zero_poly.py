@@ -14,12 +14,29 @@ length), so each size compiles once.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..field import fr
 from ..ntt.domain import FFTSettings
-from ..ntt.fft_fr import fft
+from ..ntt.fft_fr import _fft_core, fft
+
+
+@functools.partial(jax.jit, static_argnames=("max_width", "target"))
+def _reduce_level(polys, roots, rev_roots, inv_t, max_width: int,
+                  target: int):
+    """One tree level: convolve adjacent pairs via FFT at width `target`.
+    polys: (cnt, width, 16) -> (cnt/2, target, 16). One device dispatch."""
+    width = polys.shape[1]
+    pad = [(0, 0), (0, target - width), (0, 0)]
+    fa = _fft_core(jnp.pad(polys[0::2], pad), roots, None,
+                   max_width=max_width)
+    fb = _fft_core(jnp.pad(polys[1::2], pad), roots, None,
+                   max_width=max_width)
+    return _fft_core(fr.mul(fa, fb), rev_roots, inv_t, max_width=max_width)
 
 
 def zero_poly_via_multiplication(fs: FFTSettings, missing_indices, length: int):
@@ -68,19 +85,17 @@ def zero_poly_via_multiplication(fs: FFTSettings, missing_indices, length: int):
     )
     polys = jnp.stack([c0, c1], axis=1)  # (p2, 2, 16)
 
-    # Tree reduction: each level convolves pairs via FFT at double width.
-    # The total degree of the remaining product is m < length, so the
-    # convolution width never needs to exceed `length` (no aliasing).
+    # Tree reduction: each level convolves pairs via FFT at double width
+    # in a single fused dispatch. The total degree of the remaining
+    # product is m < length, so the convolution width never needs to
+    # exceed `length` (no aliasing).
     while polys.shape[0] > 1:
         width = polys.shape[1]
         target = min(2 * width, length)
-        a = polys[0::2]
-        b = polys[1::2]
-        pad = [(0, 0), (0, target - width), (0, 0)]
-        fa = fft(fs, jnp.pad(a, pad))
-        fb = fft(fs, jnp.pad(b, pad))
-        prod = fr.mul(fa, fb)
-        polys = fft(fs, prod, inverse=True)  # (cnt/2, target, 16)
+        polys = _reduce_level(
+            polys, fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
+            fs.inv_length(target), max_width=fs.max_width, target=target,
+        )
 
     zpoly = polys[0]  # (2*p2, 16); degree is exactly m (monic)
     if zpoly.shape[0] < length:

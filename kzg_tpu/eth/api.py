@@ -102,7 +102,7 @@ def blobs_to_polynomials(es: EthSettings, blobs: Sequence[bytes]):
 def polynomial_to_kzg_commitment(es: EthSettings, poly_dev) -> bytes:
     """MSM over the bit-reversed Lagrange CRS, compressed
     (reference: PolynomialToKZGCommitment, eth/helpers.go:98-103)."""
-    pt = lin_comb_g1(es.lagrange_brp, poly_dev)
+    pt = es._jit_commit(poly_dev)
     return serialization.compress_g1(g1mod.to_affine_ints(pt))
 
 
@@ -121,9 +121,7 @@ def evaluate_polynomial_in_evaluation_form(es: EthSettings, poly_dev,
     (reference: EvaluatePolynomialInEvaluationForm, eth/helpers.go:207-211
     -> bls/globals.go:106-153). Returns the canonical int value."""
     zdev = jnp.asarray(fr.from_int(z))
-    y = polyops.eval_poly_in_evaluation_form(
-        poly_dev, es.domain, zdev, es.width_inv
-    )
+    y = es._jit_eval(poly_dev, zdev)
     return int(fr.to_int(y)[()])
 
 
@@ -158,7 +156,7 @@ def compute_aggregated_poly_and_commitment(es: EthSettings, polys_dev,
     ComputeAggregatedPolyAndCommitment, eth/helpers.go:137-161)."""
     r_powers, challenge = compute_challenges(es, polys_dev, comms)
     powers_dev = jnp.asarray(fr.from_int(r_powers))
-    agg_poly = polyops.poly_lin_comb(polys_dev, powers_dev)
+    agg_poly = es._jit_poly_lin_comb(polys_dev, powers_dev)
     comm_pts = [serialization.decompress_g1(bytes(c)) for c in comms]
     agg_comm = g1mod.to_affine_ints(
         lin_comb_g1(g1mod.from_affine_ints(comm_pts), powers_dev)
@@ -175,10 +173,7 @@ def compute_kzg_proof(es: EthSettings, poly_dev, z: int) -> bytes:
     y = evaluate_polynomial_in_evaluation_form(es, poly_dev, z)
     zdev = jnp.asarray(fr.from_int(z))
     ydev = jnp.asarray(fr.from_int(y))
-    num = fr.sub(poly_dev, jnp.broadcast_to(ydev, poly_dev.shape))
-    den = fr.sub(es.domain, jnp.broadcast_to(zdev, es.domain.shape))
-    quotient = fr.mul(num, fr.inv(den))
-    pt = lin_comb_g1(es.lagrange_brp, quotient)
+    pt = es._jit_quotient_commit(poly_dev, zdev, ydev)
     return serialization.compress_g1(g1mod.to_affine_ints(pt))
 
 

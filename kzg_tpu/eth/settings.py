@@ -61,6 +61,28 @@ class EthSettings:
         self.setup_g2_1 = setup_g2_1
         self.setup_g1_affine = setup_g1_affine
 
+        # Whole-pipeline jits: each spec function's device portion runs
+        # as a single dispatch.
+        import jax
+
+        from .. import poly as polyops
+        from ..curve.msm import lin_comb_g1
+        from ..field import fr as _fr
+
+        self._jit_commit = jax.jit(
+            lambda p: lin_comb_g1(self.lagrange_brp, p))
+        self._jit_eval = jax.jit(
+            lambda p, z: polyops.eval_poly_in_evaluation_form(
+                p, self.domain, z, self.width_inv))
+
+        def _quotient_commit(p, z, y):
+            num = _fr.sub(p, jnp.broadcast_to(y, p.shape))
+            den = _fr.sub(self.domain, jnp.broadcast_to(z, self.domain.shape))
+            return lin_comb_g1(self.lagrange_brp, _fr.mul(num, _fr.inv(den)))
+
+        self._jit_quotient_commit = jax.jit(_quotient_commit)
+        self._jit_poly_lin_comb = jax.jit(polyops.poly_lin_comb)
+
     # ------------------------------------------------------------------
     @classmethod
     def from_json(cls, path: str) -> "EthSettings":

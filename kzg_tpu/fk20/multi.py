@@ -84,6 +84,12 @@ class FK20MultiSettings:
               for c in ("x", "y", "z"))
         )  # (l, 2k) points
 
+        # Whole-pipeline jits: one device dispatch per proof batch.
+        import jax
+
+        self._jit_multi = jax.jit(self._fk20_multi_impl)
+        self._jit_multi_da = jax.jit(self._fk20_multi_da_impl)
+
     def _h_from_reduced(self, reduced) -> JacobianPoint:
         """reduced: uint32[n, 16] -> h point batch (k,)."""
         l, k = self.chunk_len, self.k
@@ -97,13 +103,21 @@ class FK20MultiSettings:
         h_ext_fft = tree_reduce(g1.ops, h_ext_fft_per)  # (2k,)
         return toeplitz_part3(self.ks.fs, h_ext_fft)  # (k,)
 
+    def _fk20_multi_impl(self, poly) -> JacobianPoint:
+        h = self._h_from_reduced(poly)
+        return fft_g1(self.ks.fs, h)
+
+    def _fk20_multi_da_impl(self, poly) -> JacobianPoint:
+        h = self._h_from_reduced(poly[: self.n])
+        h_ext = concat_points(h, g1.infinity((self.k,)))
+        return fft_g1(self.ks.fs, h_ext)
+
     def fk20_multi(self, poly) -> JacobianPoint:
         """k proofs for the k cosets of the n-domain, natural order
         (reference: FK20Multi, fk20_multi.go:25-54). poly: uint32[n, 16]."""
         if poly.shape[0] != self.n:
             raise ValueError(f"expected polynomial of length {self.n}")
-        h = self._h_from_reduced(poly)
-        return fft_g1(self.ks.fs, h)
+        return self._jit_multi(poly)
 
     def fk20_multi_da_optimized(self, poly) -> JacobianPoint:
         """2k proofs for an extended polynomial with zero top half
@@ -111,9 +125,7 @@ class FK20MultiSettings:
         poly: uint32[2n, 16]."""
         if poly.shape[0] != self.n2:
             raise ValueError(f"expected polynomial of length {self.n2}")
-        h = self._h_from_reduced(poly[: self.n])
-        h_ext = concat_points(h, g1.infinity((self.k,)))
-        return fft_g1(self.ks.fs, h_ext)
+        return self._jit_multi_da(poly)
 
     def da_using_fk20_multi(self, poly) -> JacobianPoint:
         """Extend to 2n and return the 2k coset proofs in reverse-bit

@@ -64,25 +64,21 @@ class FK20SingleSettings:
         )
         self.x_ext_fft = toeplitz_part1(ks.fs, x)  # (2n,) points
 
-    def fk20_single(self, poly) -> JacobianPoint:
-        """All n proofs for p at the n-th roots of unity, natural order
-        (reference: FK20Single, fk20_single.go:122-137). poly: uint32[n, 16].
-        """
-        n = poly.shape[0]
-        if n != self.n:
-            raise ValueError(f"expected polynomial of length {self.n}")
+        # Whole-pipeline jits (one device dispatch per proof batch); the
+        # precomputed tables become compile-time constants via closure.
+        import jax
+
+        self._jit_single = jax.jit(self._fk20_single_impl)
+        self._jit_da_opt = jax.jit(self._fk20_single_da_impl)
+
+    def _fk20_single_impl(self, poly) -> JacobianPoint:
         tc = toeplitz_coeffs_step(poly)
         h = toeplitz_part3(
             self.ks.fs, toeplitz_part2(self.ks.fs, tc, self.x_ext_fft)
         )
         return fft_g1(self.ks.fs, h)
 
-    def fk20_single_da_optimized(self, poly) -> JacobianPoint:
-        """All 2n proofs for an extended polynomial whose top n
-        coefficients are zero (reference: FK20SingleDAOptimized,
-        fk20_single.go:139-173). poly: uint32[2n, 16]."""
-        if poly.shape[0] != self.n2:
-            raise ValueError(f"expected polynomial of length {self.n2}")
+    def _fk20_single_da_impl(self, poly) -> JacobianPoint:
         reduced = poly[: self.n]
         tc = toeplitz_coeffs_step(reduced)
         h = toeplitz_part3(
@@ -90,6 +86,22 @@ class FK20SingleSettings:
         )
         h_ext = concat_points(h, g1.infinity((self.n,)))
         return fft_g1(self.ks.fs, h_ext)
+
+    def fk20_single(self, poly) -> JacobianPoint:
+        """All n proofs for p at the n-th roots of unity, natural order
+        (reference: FK20Single, fk20_single.go:122-137). poly: uint32[n, 16].
+        """
+        if poly.shape[0] != self.n:
+            raise ValueError(f"expected polynomial of length {self.n}")
+        return self._jit_single(poly)
+
+    def fk20_single_da_optimized(self, poly) -> JacobianPoint:
+        """All 2n proofs for an extended polynomial whose top n
+        coefficients are zero (reference: FK20SingleDAOptimized,
+        fk20_single.go:139-173). poly: uint32[2n, 16]."""
+        if poly.shape[0] != self.n2:
+            raise ValueError(f"expected polynomial of length {self.n2}")
+        return self._jit_da_opt(poly)
 
     def da_using_fk20(self, poly) -> JacobianPoint:
         """Extend an n-polynomial to 2n, produce the 2n proofs in

@@ -57,13 +57,41 @@ class KZGSettings:
             list(secret_g1_affine) if secret_g1_affine is not None else None
         )
 
+        # Whole-pipeline jits: commitments and quotient proofs run as one
+        # device dispatch each (per polynomial size).
+        import jax
+
+        self._jit_commit = jax.jit(self._commit_impl)
+        self._jit_proof_domain = jax.jit(
+            lambda coeffs, z: self._commit_impl(
+                poly.poly_quotient_on_domain(self.fs, coeffs, z))
+        )
+        self._jit_proof_serial = jax.jit(
+            lambda coeffs, z: self._commit_impl(
+                poly.poly_factor_div(coeffs, z))
+        )
+        self._jit_proof_multi = jax.jit(
+            lambda coeffs, divisor: self._commit_impl(
+                poly.poly_long_div(coeffs, divisor))
+        )
+        self._jit_interp_commit = jax.jit(self._interp_commit_impl)
+
+    def _commit_impl(self, coeffs) -> JacobianPoint:
+        n = coeffs.shape[0]
+        pts = JacobianPoint(*(c[:n] for c in self.secret_g1))
+        return lin_comb_g1(pts, coeffs)
+
+    def _interp_commit_impl(self, ys, xinv_mont) -> JacobianPoint:
+        n = ys.shape[0]
+        coset_ifft = fft(self.fs, ys, inverse=True)
+        scale = poly.powers_of(xinv_mont, n)
+        return self._commit_impl(fr.mul(coset_ifft, scale))
+
     # ---------------- commitments ----------------
     def commit_to_poly(self, coeffs) -> JacobianPoint:
         """MSM of the CRS against the coefficients
         (reference: CommitToPoly, kzg_single_proofs.go:17-20)."""
-        n = coeffs.shape[0]
-        pts = JacobianPoint(*(c[:n] for c in self.secret_g1))
-        return lin_comb_g1(pts, coeffs)
+        return self._jit_commit(coeffs)
 
     def commit_to_eval_poly(self, evals) -> JacobianPoint:
         """IFFT to coefficient form, then commit
@@ -85,10 +113,8 @@ class KZGSettings:
         pow2 = n & (n - 1) == 0
         in_domain = pow(x0 % FR_MODULUS, n, FR_MODULUS) == 1 if pow2 else True
         if method == "auto" and pow2 and not in_domain and n >= 2:
-            q = poly.poly_quotient_on_domain(self.fs, coeffs, z)
-        else:
-            q = poly.poly_factor_div(coeffs, z)
-        return self.commit_to_poly(q)
+            return self._jit_proof_domain(coeffs, z)
+        return self._jit_proof_serial(coeffs, z)
 
     def check_proof_single(self, commitment, proof, x: int, y: int) -> bool:
         """Pairing check e(proof, [s - x]_2) == e(commitment - [y]_1, G2)
@@ -120,8 +146,7 @@ class KZGSettings:
             ],
             axis=0,
         )
-        q = poly.poly_long_div(coeffs, divisor)
-        return self.commit_to_poly(q)
+        return self._jit_proof_multi(coeffs, divisor)
 
     def check_proof_multi(self, commitment, proof, x: int, ys) -> bool:
         """Verify p(x*w^i) == ys[i] for all i in one pairing
@@ -131,17 +156,15 @@ class KZGSettings:
         domain's natural order.
         """
         n = ys.shape[0]
-        # interpolate on the coset: IFFT then unscale by x^-i
-        coset_ifft = fft(self.fs, ys, inverse=True)
+        # interpolate on the coset (IFFT + unscale by x^-i) and commit,
+        # in one fused dispatch
         xinv = pow(x % FR_MODULUS, -1, FR_MODULUS)
-        scale = poly.powers_of(jnp.asarray(fr.from_int(xinv)), n)
-        interp = fr.mul(coset_ifft, scale)
+        is1 = self._jit_interp_commit(
+            ys, jnp.asarray(fr.from_int(xinv)))  # [interp(s)]_1
 
         xn = pow(x % FR_MODULUS, n, FR_MODULUS)
         xn2 = host_ec.g2_mul(host_ec.g2_generator(), xn)
         xn_minus = host_ec.g2_sub(self.secret_g2_affine[n], xn2)  # [s^n-x^n]_2
-
-        is1 = self.commit_to_poly(interp)  # [interp(s)]_1
         cm = host_ec.g1_sub(_as_affine_g1(commitment), _as_affine_g1(is1))
         return pairing.pairings_verify(
             host_ec.g1_neg(cm), host_ec.g2_generator(),

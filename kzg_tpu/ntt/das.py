@@ -12,14 +12,36 @@ evens on <o> gives the odds as evaluations on the coset w*<o>:
     odds = FFT_n( IFFT_n(evens) * w^j )      (pointwise scale by w^j)
 
 which is two half-size FFTs plus one batched multiply — exactly the same
-field values as the reference's recursion.
+field values as the reference's recursion. The whole pipeline is one
+compiled function (a single device dispatch).
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 from ..field import fr
 from .domain import FFTSettings
-from .fft_fr import coset_scale, fft
+from .fft_fr import _fft_core
+
+
+@functools.partial(jax.jit, static_argnames=("max_width", "interleave"))
+def _das_core(evens, roots, rev_roots, inv_n, max_width: int,
+              interleave: bool):
+    n = evens.shape[-2]
+    coeffs = _fft_core(evens, rev_roots, inv_n, max_width=max_width)
+    stride = max_width // (2 * n)
+    idx = jnp.asarray(np.arange(n, dtype=np.int32) * stride)
+    coset = jnp.take(roots, idx, axis=0)
+    odds = _fft_core(fr.mul(coeffs, coset), roots, None, max_width=max_width)
+    if not interleave:
+        return odds
+    out = jnp.stack([evens, odds], axis=-2)  # (..., n, 2, L)
+    return out.reshape(evens.shape[:-2] + (2 * n, evens.shape[-1]))
 
 
 def das_fft_extension(fs: FFTSettings, evens):
@@ -27,16 +49,18 @@ def das_fft_extension(fs: FFTSettings, evens):
     n = evens.shape[-2]
     if 2 * n > fs.max_width:
         raise ValueError("domain too small for extending requested values")
-    coeffs = fft(fs, evens, inverse=True)
-    shifted = fr.mul(coeffs, coset_scale(fs, n))
-    return fft(fs, shifted, inverse=False)
+    return _das_core(
+        evens, fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
+        fs.inv_length(n), max_width=fs.max_width, interleave=False,
+    )
 
 
 def das_extend_interleaved(fs: FFTSettings, evens):
     """Full extended evaluation vector [e0, o0, e1, o1, ...] of length 2n."""
-    import jax.numpy as jnp
-
-    odds = das_fft_extension(fs, evens)
     n = evens.shape[-2]
-    out = jnp.stack([evens, odds], axis=-2)  # (..., n, 2, L)
-    return out.reshape(evens.shape[:-2] + (2 * n, evens.shape[-1]))
+    if 2 * n > fs.max_width:
+        raise ValueError("domain too small for extending requested values")
+    return _das_core(
+        evens, fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
+        fs.inv_length(n), max_width=fs.max_width, interleave=True,
+    )
