@@ -316,9 +316,15 @@ def mont_mul(spec: FieldSpec, a, b):
     from .backend import field_backend
 
     if field_backend() == "pallas":
+        import jax
+
         from .pallas_mul import mont_mul_pallas
 
-        return mont_mul_pallas(spec, a, b)
+        # off-TPU the kernel runs in the Pallas interpreter (differential
+        # testing); on TPU it compiles through Mosaic
+        return mont_mul_pallas(
+            spec, a, b, interpret=jax.default_backend() != "tpu"
+        )
     a, b = _bcast(a, b)
     L = spec.n_limbs
     mod = jnp.asarray(spec.mod_limbs, dtype=U32)
