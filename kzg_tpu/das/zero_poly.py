@@ -25,11 +25,10 @@ from ..ntt.domain import FFTSettings
 from ..ntt.fft_fr import _fft_core, fft
 
 
-@functools.partial(jax.jit, static_argnames=("max_width", "target"))
 def _reduce_level(polys, roots, rev_roots, inv_t, max_width: int,
                   target: int):
     """One tree level: convolve adjacent pairs via FFT at width `target`.
-    polys: (cnt, width, 16) -> (cnt/2, target, 16). One device dispatch."""
+    polys: (cnt, width, 16) -> (cnt/2, target, 16)."""
     width = polys.shape[1]
     pad = [(0, 0), (0, target - width), (0, 0)]
     fa = _fft_core(jnp.pad(polys[0::2], pad), roots, None,
@@ -37,6 +36,30 @@ def _reduce_level(polys, roots, rev_roots, inv_t, max_width: int,
     fb = _fft_core(jnp.pad(polys[1::2], pad), roots, None,
                    max_width=max_width)
     return _fft_core(fr.mul(fa, fb), rev_roots, inv_t, max_width=max_width)
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_fn(p2: int, length: int, max_width: int):
+    """Whole product tree + final pad + forward FFT as ONE compiled
+    function per (leaf count, length) shape."""
+
+    @jax.jit
+    def run(polys, roots, rev_roots, invs):
+        i = 0
+        while polys.shape[0] > 1:
+            target = min(2 * polys.shape[1], length)
+            polys = _reduce_level(polys, roots, rev_roots, invs[i],
+                                  max_width=max_width, target=target)
+            i += 1
+        zpoly = polys[0]
+        if zpoly.shape[0] < length:
+            zpoly = jnp.pad(zpoly, [(0, length - zpoly.shape[0]), (0, 0)])
+        else:
+            zpoly = zpoly[:length]
+        evals = _fft_core(zpoly, roots, None, max_width=max_width)
+        return evals, zpoly
+
+    return run
 
 
 def zero_poly_via_multiplication(fs: FFTSettings, missing_indices, length: int):
@@ -85,22 +108,20 @@ def zero_poly_via_multiplication(fs: FFTSettings, missing_indices, length: int):
     )
     polys = jnp.stack([c0, c1], axis=1)  # (p2, 2, 16)
 
-    # Tree reduction: each level convolves pairs via FFT at double width
-    # in a single fused dispatch. The total degree of the remaining
-    # product is m < length, so the convolution width never needs to
-    # exceed `length` (no aliasing).
-    while polys.shape[0] > 1:
-        width = polys.shape[1]
+    # Tree reduction: every level convolves pairs via FFT at double width;
+    # the whole tree (plus the final forward FFT) is one compiled dispatch.
+    # The total degree of the remaining product is m < length, so the
+    # convolution width never needs to exceed `length` (no aliasing).
+    invs, width = [], 2
+    while True:
+        cnt = p2 >> len(invs)
+        if cnt <= 1:
+            break
         target = min(2 * width, length)
-        polys = _reduce_level(
-            polys, fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
-            fs.inv_length(target), max_width=fs.max_width, target=target,
-        )
-
-    zpoly = polys[0]  # (2*p2, 16); degree is exactly m (monic)
-    if zpoly.shape[0] < length:
-        zpoly = jnp.pad(zpoly, [(0, length - zpoly.shape[0]), (0, 0)])
-    else:
-        # degree m < length, so truncation only drops structural zeros
-        zpoly = zpoly[:length]
-    return fft(fs, zpoly), zpoly
+        invs.append(fs.inv_length(target))
+        width = target
+    run = _tree_fn(p2, length, fs.max_width)
+    return run(
+        polys, fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
+        tuple(invs),
+    )
