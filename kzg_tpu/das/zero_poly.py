@@ -4,12 +4,14 @@ Reference: ZeroPolyViaMultiplication (zero_poly.go:116-217), which builds
 <=63-index leaves by sequential O(m^2) multiplication and tree-reduces
 them 4-at-a-time with FFT convolutions into preallocated scratch.
 
-TPU-native design: every level of the product tree is one *batched* FFT
-convolution — level j holds 2^(p-j) polynomials of 2^(j+1) coefficients in
-a single array, so the whole level is one fused FFT/pointwise-mul/IFFT
-over the batch axis. The missing-index set is host data (sample
-availability is host knowledge); shapes depend only on (padded count,
-length), so each size compiles once.
+TPU-native design, fused into ONE compiled dispatch per shape:
+  1. leaves of up to 64 linear factors built by a 64-step scan that is
+     batched over all leaves at once (each step is one fused
+     shift-multiply-add over every leaf)
+  2. a binary product tree where every level is a single batched FFT
+     convolution over all remaining pairs
+The missing-index set is host data (sample availability is host
+knowledge); shapes depend only on (leaf count, length).
 """
 
 from __future__ import annotations
@@ -19,10 +21,34 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..field import fr
 from ..ntt.domain import FFTSettings
-from ..ntt.fft_fr import _fft_core, fft
+from ..ntt.fft_fr import _fft_core
+
+LEAF_FACTORS = 64  # factors per leaf (reference uses <=63, zero_poly.go:17)
+LEAF_WIDTH = 128   # storage width: degree <= 64 fits, power of two
+
+
+def _build_leaves(neg_roots, valid):
+    """(G, S, 16) negated roots + (G, S) validity -> (G, LEAF_WIDTH, 16)
+    monic products prod(x - r) over the valid factors of each leaf."""
+    G = neg_roots.shape[0]
+    one = jnp.asarray(fr.from_int(1))
+    poly0 = jnp.zeros((G, LEAF_WIDTH, fr.N_LIMBS), dtype=jnp.uint32)
+    poly0 = poly0.at[:, 0, :].set(jnp.broadcast_to(one, (G, fr.N_LIMBS)))
+
+    def step(poly, xs):
+        negr, v = xs  # (G, 16), (G,)
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(poly[:, :1, :]), poly[:, :-1, :]], axis=1)
+        cand = fr.add(shifted, fr.mul(poly, negr[:, None, :]))
+        return fr.select(v[:, None], cand, poly), None
+
+    xs = (jnp.moveaxis(neg_roots, 1, 0), jnp.moveaxis(valid, 1, 0))
+    poly, _ = lax.scan(step, poly0, xs)
+    return poly
 
 
 def _reduce_level(polys, roots, rev_roots, inv_t, max_width: int,
@@ -39,12 +65,13 @@ def _reduce_level(polys, roots, rev_roots, inv_t, max_width: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _tree_fn(p2: int, length: int, max_width: int):
-    """Whole product tree + final pad + forward FFT as ONE compiled
-    function per (leaf count, length) shape."""
+def _zero_poly_fn(G: int, length: int, max_width: int):
+    """Leaf build + whole product tree + final forward FFT as ONE
+    compiled function per (leaf count, length)."""
 
     @jax.jit
-    def run(polys, roots, rev_roots, invs):
+    def run(neg_roots, valid, roots, rev_roots, invs):
+        polys = _build_leaves(neg_roots, valid)
         i = 0
         while polys.shape[0] > 1:
             target = min(2 * polys.shape[1], length)
@@ -55,6 +82,7 @@ def _tree_fn(p2: int, length: int, max_width: int):
         if zpoly.shape[0] < length:
             zpoly = jnp.pad(zpoly, [(0, length - zpoly.shape[0]), (0, 0)])
         else:
+            # degree m < length: truncation only drops structural zeros
             zpoly = zpoly[:length]
         evals = _fft_core(zpoly, roots, None, max_width=max_width)
         return evals, zpoly
@@ -87,41 +115,36 @@ def zero_poly_via_multiplication(fs: FFTSettings, missing_indices, length: int):
             [jnp.asarray(fr.from_int(1))[None, :], fr.zeros((length - 1,))],
             axis=0,
         )
+        from ..ntt.fft_fr import fft
+
         return fft(fs, coeffs), coeffs
 
-    # Leaves: for each missing index the linear factor (x - w^(i*stride)),
-    # padding the count to a power of two with the constant polynomial 1.
-    p2 = 1 << (m - 1).bit_length()
-    roots = jnp.take(
-        fs.expanded_roots_of_unity,
-        jnp.asarray((missing * stride).astype(np.int32)),
-        axis=0,
-    )  # (m, 16)
-    neg_roots = fr.neg(roots)
-    one = jnp.asarray(fr.from_int(1))
-    # (p2, 2, 16): [(-w^i, 1)] for real entries, [(1, 0)] for padding
-    c0 = jnp.concatenate(
-        [neg_roots, jnp.broadcast_to(one, (p2 - m, 16))], axis=0
-    )
-    c1 = jnp.concatenate(
-        [jnp.broadcast_to(one, (m, 16)), fr.zeros((p2 - m,))], axis=0
-    )
-    polys = jnp.stack([c0, c1], axis=1)  # (p2, 2, 16)
+    # group factors into leaves of LEAF_FACTORS, pad the leaf count to a
+    # power of two (identity leaves via the validity mask)
+    G = 1 << (max((m + LEAF_FACTORS - 1) // LEAF_FACTORS, 1) - 1).bit_length()
+    S = LEAF_FACTORS
+    idx = np.zeros((G, S), dtype=np.int32)
+    valid_np = np.zeros((G, S), dtype=bool)
+    flat_leaf = np.arange(m) // S
+    flat_pos = np.arange(m) % S
+    idx[flat_leaf, flat_pos] = (missing * stride).astype(np.int32)
+    valid_np[flat_leaf, flat_pos] = True
 
-    # Tree reduction: every level convolves pairs via FFT at double width;
-    # the whole tree (plus the final forward FFT) is one compiled dispatch.
-    # The total degree of the remaining product is m < length, so the
-    # convolution width never needs to exceed `length` (no aliasing).
-    invs, width = [], 2
-    while True:
-        cnt = p2 >> len(invs)
-        if cnt <= 1:
-            break
+    roots_gathered = jnp.take(
+        fs.expanded_roots_of_unity, jnp.asarray(idx.reshape(-1)), axis=0
+    ).reshape(G, S, fr.N_LIMBS)
+    neg_roots = fr.neg(roots_gathered)
+
+    # per-level 1/target constants (host side)
+    invs, width, cnt = [], LEAF_WIDTH, G
+    while cnt > 1:
         target = min(2 * width, length)
         invs.append(fs.inv_length(target))
         width = target
-    run = _tree_fn(p2, length, fs.max_width)
+        cnt //= 2
+
+    run = _zero_poly_fn(G, length, fs.max_width)
     return run(
-        polys, fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
-        tuple(invs),
+        neg_roots, jnp.asarray(valid_np),
+        fs.expanded_roots_of_unity, fs.reverse_roots_of_unity, tuple(invs),
     )
