@@ -17,6 +17,8 @@ import numpy as np
 from ..field import fr
 from ..ntt.bitrev import bit_reversal_indices
 from ..ntt.domain import FFTSettings
+from ..ntt.bitrev import brp_permute
+from ..ntt.fft_fr import take_strided
 from . import g1
 from .weierstrass import JacobianPoint
 
@@ -30,18 +32,13 @@ def _fft_g1_core(px, py, pz, roots, inv_n, max_width: int):
     n = px.shape[0]
     pts = JacobianPoint(px, py, pz)
     if n > 1:
-        brev = jnp.asarray(bit_reversal_indices(n))
-        pts = _take_points(pts, brev)
+        pts = JacobianPoint(*(brp_permute(c, axis=0) for c in pts))
         logn = n.bit_length() - 1
         for s in range(1, logn + 1):
             m = 1 << s
             half = m >> 1
             stride = max_width // m
-            tw = jnp.take(
-                roots,
-                jnp.asarray(np.arange(half, dtype=np.int32) * stride),
-                axis=0,
-            )  # (half, 16) Fr twiddles
+            tw = take_strided(roots, half, stride)  # (half, 16) Fr twiddles
             resh = JacobianPoint(
                 *(c.reshape((n // m, m) + c.shape[1:]) for c in pts)
             )
@@ -78,6 +75,4 @@ def fft_g1(fs: FFTSettings, points: JacobianPoint, inverse: bool = False):
 
 def reverse_bit_order_g1(points: JacobianPoint) -> JacobianPoint:
     """reference: reverseBitOrderG1 (fft_g1.go:97-107)."""
-    n = points.x.shape[0]
-    idx = jnp.asarray(bit_reversal_indices(n))
-    return _take_points(points, idx)
+    return JacobianPoint(*(brp_permute(c, axis=0) for c in points))

@@ -199,13 +199,19 @@ class CurveOps:
         table = lax.fori_loop(2, 16, tb, table0)
 
         def gather_entry(w):
-            """Select table[w] per batch element; w: int32[...]."""
-            idx = w.reshape((1,) + w.shape + (1,) * self._edim)
-            return JacobianPoint(
-                *(jnp.take_along_axis(
-                    c, jnp.broadcast_to(idx, (1,) + c.shape[1:]), axis=0
-                )[0] for c in table)
-            )
+            """Select table[w] per batch element; w: int32[...].
+
+            A 15-step select chain instead of a gather (TPU gathers are
+            slow; selects are plain VPU work)."""
+            wexp = w.reshape(w.shape + (1,) * self._edim)
+
+            def pick(c):
+                res = c[0]
+                for k in range(1, 16):
+                    res = jnp.where(wexp == k, c[k], res)
+                return res
+
+            return JacobianPoint(*(pick(c) for c in table))
 
         acc0 = self.infinity_like(p)
 

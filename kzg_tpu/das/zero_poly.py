@@ -70,7 +70,10 @@ def _zero_poly_fn(G: int, length: int, max_width: int):
     compiled function per (leaf count, length)."""
 
     @jax.jit
-    def run(neg_roots, valid, roots, rev_roots, invs):
+    def run(root_idx, valid, roots, rev_roots, invs):
+        gathered = jnp.take(roots, root_idx.reshape(-1), axis=0).reshape(
+            root_idx.shape + (fr.N_LIMBS,))
+        neg_roots = fr.neg(gathered)
         polys = _build_leaves(neg_roots, valid)
         i = 0
         while polys.shape[0] > 1:
@@ -130,11 +133,6 @@ def zero_poly_via_multiplication(fs: FFTSettings, missing_indices, length: int):
     idx[flat_leaf, flat_pos] = (missing * stride).astype(np.int32)
     valid_np[flat_leaf, flat_pos] = True
 
-    roots_gathered = jnp.take(
-        fs.expanded_roots_of_unity, jnp.asarray(idx.reshape(-1)), axis=0
-    ).reshape(G, S, fr.N_LIMBS)
-    neg_roots = fr.neg(roots_gathered)
-
     # per-level 1/target constants (host side)
     invs, width, cnt = [], LEAF_WIDTH, G
     while cnt > 1:
@@ -145,6 +143,6 @@ def zero_poly_via_multiplication(fs: FFTSettings, missing_indices, length: int):
 
     run = _zero_poly_fn(G, length, fs.max_width)
     return run(
-        neg_roots, jnp.asarray(valid_np),
+        idx, valid_np,
         fs.expanded_roots_of_unity, fs.reverse_roots_of_unity, tuple(invs),
     )

@@ -198,16 +198,18 @@ def _normalize_signed(v):
 def geq(a, b):
     """Vectorized canonical-limb comparison a >= b -> bool[...].
 
-    Finds the most significant differing limb with an argmax instead of a
-    borrow chain.
+    Unrolled most-significant-differing-limb compare: L cheap vector ops,
+    no gathers (TPU gathers are slow).
     """
-    diff = a != b
-    any_diff = jnp.any(diff, axis=-1)
-    # argmax of reversed boolean picks the highest differing index
-    idx = (a.shape[-1] - 1) - jnp.argmax(diff[..., ::-1], axis=-1)
-    a_top = jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
-    b_top = jnp.take_along_axis(b, idx[..., None], axis=-1)[..., 0]
-    return jnp.where(any_diff, a_top > b_top, True)
+    L = a.shape[-1]
+    greater = jnp.zeros(a.shape[:-1], dtype=jnp.bool_)
+    equal = jnp.ones(a.shape[:-1], dtype=jnp.bool_)
+    for i in range(L - 1, -1, -1):
+        ai = a[..., i]
+        bi = b[..., i]
+        greater = greater | (equal & (ai > bi))
+        equal = equal & (ai == bi)
+    return greater | equal
 
 
 def sub_borrow(a, b):
@@ -257,20 +259,13 @@ def neg(spec: FieldSpec, a):
     return sub(spec, jnp.zeros_like(a), a)
 
 
-@functools.lru_cache(maxsize=None)
-def _diag_indices(L: int) -> tuple:
-    """Static gather indices for anti-diagonal column sums.
-
-    idx_lo[i, k] = (k - i) mod 2L: with the multiplicand row padded to 2L
-    (zeros in positions >= L), take_along_axis(pad, idx_lo)[i, k] equals
-    lo[i, k - i] exactly when row i contributes to column k, else 0.
-    idx_hi shifts one further (the high halves land one limb up).
-    """
-    k = np.arange(2 * L, dtype=np.int32)[None, :]
-    i = np.arange(L, dtype=np.int32)[:, None]
-    idx_lo = (k - i) % (2 * L)
-    idx_hi = (k - i - 1) % (2 * L)
-    return idx_lo, idx_hi
+def _shift_add_cols(cols, val, start: int, out: int):
+    """cols += val placed at limb offset `start` (static pad + add)."""
+    n = min(val.shape[-1], out - start)
+    if n <= 0:
+        return cols
+    pad = [(0, 0)] * (val.ndim - 1) + [(start, out - start - n)]
+    return cols + jnp.pad(val[..., :n], pad)
 
 
 def _product_cols(a, b, out_limbs: int | None = None):
@@ -279,25 +274,16 @@ def _product_cols(a, b, out_limbs: int | None = None):
     a, b: uint32[..., L] with limbs < 2^16. Returns uint32[..., 2L] (or the
     first `out_limbs` columns) with column k = sum_{i+j=k} a_i*b_j split
     into carry-save lo/hi halves; every column < 2L * 2^16 << 2^32, so no
-    intermediate carry propagation is needed. One outer product + two
-    static gathers + reductions — compiles to a handful of fused vector
-    ops instead of the 4L scatter-adds of a schoolbook loop.
+    intermediate carry propagation is needed. L static shifted pad-adds —
+    plain vector work, no gathers or scatters (both are slow on TPU).
     """
     L = a.shape[-1]
-    prod = a[..., :, None] * b[..., None, :]  # (..., L, L), exact in uint32
-    lo = prod & LIMB_MASK
-    hi = prod >> LIMB_BITS
-    idx_lo, idx_hi = _diag_indices(L)
-    pad_width = [(0, 0)] * (lo.ndim - 1) + [(0, L)]
-    lo_p = jnp.pad(lo, pad_width)  # (..., L, 2L), zeros beyond column L-1
-    hi_p = jnp.pad(hi, pad_width)
-    ilo = jnp.broadcast_to(jnp.asarray(idx_lo), lo_p.shape)
-    ihi = jnp.broadcast_to(jnp.asarray(idx_hi), hi_p.shape)
-    cols = jnp.take_along_axis(lo_p, ilo, axis=-1).sum(
-        axis=-2, dtype=U32
-    ) + jnp.take_along_axis(hi_p, ihi, axis=-1).sum(axis=-2, dtype=U32)
-    if out_limbs is not None:
-        cols = cols[..., :out_limbs]
+    out = 2 * L if out_limbs is None else out_limbs
+    cols = jnp.zeros(a.shape[:-1] + (out,), dtype=U32)
+    for i in range(L):
+        p = a[..., i : i + 1] * b  # (..., L), exact in uint32
+        cols = _shift_add_cols(cols, p & LIMB_MASK, i, out)
+        cols = _shift_add_cols(cols, p >> LIMB_BITS, i + 1, out)
     return cols
 
 

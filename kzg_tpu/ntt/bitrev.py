@@ -35,12 +35,28 @@ def reverse_bits_limited(length: int, value: int) -> int:
     return out
 
 
+def brp_permute(x, axis: int = -2):
+    """Bit-reversal permutation along `axis` via reshape/transpose (no
+    gather): viewing the axis as log2(n) binary dimensions and reversing
+    their order IS the bit-reversal permutation (TPU gathers are slow)."""
+    n = x.shape[axis]
+    if n <= 2:
+        return x
+    bits = n.bit_length() - 1
+    axis = axis % x.ndim
+    lead = x.shape[:axis]
+    y = x.reshape(lead + (2,) * bits + x.shape[axis + 1:])
+    la = len(lead)
+    perm = (tuple(range(la))
+            + tuple(la + bits - 1 - i for i in range(bits))
+            + tuple(range(la + bits, y.ndim)))
+    return y.transpose(perm).reshape(x.shape)
+
+
 def reverse_bit_order(arr, axis: int = -2):
     """Permute an array into reverse-bit order along `axis`.
 
     For field-element batches the element axis is -2 (the last axis is
     limbs); for G1 point structs apply per coordinate.
     """
-    n = arr.shape[axis]
-    idx = jnp.asarray(bit_reversal_indices(n))
-    return jnp.take(arr, idx, axis=axis)
+    return brp_permute(arr, axis=axis)

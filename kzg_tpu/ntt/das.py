@@ -26,7 +26,7 @@ import numpy as np
 
 from ..field import fr
 from .domain import FFTSettings
-from .fft_fr import _fft_core
+from .fft_fr import _fft_core, take_strided
 
 
 @functools.partial(jax.jit, static_argnames=("max_width", "interleave"))
@@ -35,8 +35,7 @@ def _das_core(evens, roots, rev_roots, inv_n, max_width: int,
     n = evens.shape[-2]
     coeffs = _fft_core(evens, rev_roots, inv_n, max_width=max_width)
     stride = max_width // (2 * n)
-    idx = jnp.asarray(np.arange(n, dtype=np.int32) * stride)
-    coset = jnp.take(roots, idx, axis=0)
+    coset = take_strided(roots, n, stride)
     odds = _fft_core(fr.mul(coeffs, coset), roots, None, max_width=max_width)
     if not interleave:
         return odds

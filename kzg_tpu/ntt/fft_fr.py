@@ -20,8 +20,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import fr
-from .bitrev import bit_reversal_indices
+from .bitrev import bit_reversal_indices, brp_permute
 from .domain import FFTSettings, next_pow_of_2
+
+
+def take_strided(roots, count: int, stride: int):
+    """roots[0:count*stride:stride] without a gather: strided access into
+    the power circle lowers to reshape + slice (TPU gathers are slow)."""
+    if stride == 1:
+        return roots[:count]
+    return roots[: count * stride].reshape(count, stride, roots.shape[-1])[
+        :, 0, :
+    ]
 
 
 @functools.partial(jax.jit, static_argnames=("max_width",))
@@ -31,16 +41,14 @@ def _fft_core(vals, roots, inv_n, max_width: int):
     n = vals.shape[-2]
     if n == 1:
         return vals if inv_n is None else fr.mul(vals, inv_n)
-    x = jnp.take(vals, jnp.asarray(bit_reversal_indices(n)), axis=-2)
+    x = brp_permute(vals, axis=-2)
     logn = n.bit_length() - 1
     batch = vals.shape[:-2]
     for s in range(1, logn + 1):
         m = 1 << s
         half = m >> 1
         stride = max_width // m
-        tw = jnp.take(
-            roots, jnp.asarray(np.arange(half, dtype=np.int32) * stride), axis=0
-        )  # (half, 16)
+        tw = take_strided(roots, half, stride)  # (half, 16)
         x = x.reshape(batch + (n // m, m, fr.N_LIMBS))
         a = x[..., :half, :]
         b = x[..., half:, :]
@@ -84,6 +92,4 @@ def coset_scale(fs: FFTSettings, n: int, inverse: bool = False):
     the domain (the coset offset used by the DAS extension). uint32[n, 16]."""
     stride = fs.max_width // (2 * n)
     roots = fs.reverse_roots_of_unity if inverse else fs.expanded_roots_of_unity
-    return jnp.take(
-        roots, jnp.asarray(np.arange(n, dtype=np.int32) * stride), axis=0
-    )
+    return take_strided(roots, n, stride)

@@ -66,12 +66,13 @@ def fft_sharded(fs: FFTSettings, vals, mesh: Mesh, axis: str = "elem",
 
     # Static per-stage twiddle tables: stage h needs w^(r*n/(2h)) for
     # r < h, i.e. the root table strided by max_width/(2h).
+    from ..ntt.fft_fr import take_strided
+
     stage_tables = []
     h = n // 2
     while h >= local:
         stride = fs.max_width // (2 * h)
-        idx = np.arange(h, dtype=np.int32) * stride
-        stage_tables.append((h, jnp.take(roots, jnp.asarray(idx), axis=0)))
+        stage_tables.append((h, take_strided(roots, h, stride)))
         h //= 2
 
     rev_d = jnp.asarray(bit_reversal_indices(D))

@@ -206,15 +206,14 @@ def poly_quotient_on_domain(fs, coeffs, z, y=None):
     y: p(z), computed if not given. Returns uint32[n-1, L] (top coefficient
     of the padded quotient is zero and dropped).
     """
-    from .ntt.fft_fr import fft  # local import to avoid cycle
+    from .ntt.fft_fr import fft, take_strided  # local import, avoids cycle
 
     n = coeffs.shape[0]
     if y is None:
         y = eval_poly_at_parallel(coeffs, z)
     evals = fft(fs, coeffs)  # p on the domain
     stride = fs.max_width // n
-    idx = jnp.arange(n, dtype=jnp.int32) * stride
-    domain = jnp.take(fs.expanded_roots_of_unity, idx, axis=0)
+    domain = take_strided(fs.expanded_roots_of_unity, n, stride)
     num = fr.sub(evals, jnp.broadcast_to(y, evals.shape))
     den = fr.sub(domain, jnp.broadcast_to(z, domain.shape))
     q_evals = fr.mul(num, fr.inv(den))
