@@ -84,7 +84,11 @@ class FK20MultiSettings:
               for c in ("x", "y", "z"))
         )  # (l, 2k) points
 
-        # Whole-pipeline jits: one device dispatch per proof batch.
+        self._init_jits()
+
+    def _init_jits(self) -> None:
+        """Whole-pipeline jits: one device dispatch per proof batch.
+        Also called by the persistence loader (kzg/persist.py)."""
         import jax
 
         self._jit_multi = jax.jit(self._fk20_multi_impl)

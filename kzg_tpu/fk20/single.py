@@ -64,8 +64,12 @@ class FK20SingleSettings:
         )
         self.x_ext_fft = toeplitz_part1(ks.fs, x)  # (2n,) points
 
-        # Whole-pipeline jits (one device dispatch per proof batch); the
-        # precomputed tables become compile-time constants via closure.
+        self._init_jits()
+
+    def _init_jits(self) -> None:
+        """Whole-pipeline jits (one device dispatch per proof batch); the
+        precomputed tables become compile-time constants via closure.
+        Also called by the persistence loader (kzg/persist.py)."""
         import jax
 
         self._jit_single = jax.jit(self._fk20_single_impl)

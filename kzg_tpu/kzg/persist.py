@@ -81,6 +81,7 @@ def load_fk20_single(path: str, ks: KZGSettings):
     fk.n2 = int(z["n2"])
     fk.n = fk.n2 // 2
     fk.x_ext_fft = _pt_from_np(z, "xe")
+    fk._init_jits()
     return fk
 
 
@@ -101,4 +102,5 @@ def load_fk20_multi(path: str, ks: KZGSettings):
     fkm.n = fkm.n2 // 2
     fkm.k = fkm.n // fkm.chunk_len
     fkm.x_ext_fft_files = _pt_from_np(z, "xf")
+    fkm._init_jits()
     return fkm
