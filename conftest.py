@@ -5,7 +5,19 @@
 # suite once per arithmetic backend; we run once with an 8-device mesh so the
 # sharded paths are exercised without a pod).
 import os
+import resource
 import sys
+
+# Raise the stack ceiling BEFORE the jax import/backend init below: XLA's
+# worker threads capture the rlimit at creation, and its recursive graph
+# passes overflow the default 8MB on the fully-fused field pipelines
+# (see kzg_tpu.utils.jaxcache.raise_stack_limit).
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != _hard:
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+    except (ValueError, OSError):
+        pass
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -24,11 +36,10 @@ assert jax.default_backend() == "cpu"
 
 # Persistent compilation cache: the suite is compile-dominated (hundreds of
 # distinct static shapes); caching XLA executables across pytest runs cuts
-# repeat wall-clock by an order of magnitude.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".cache", "jax_cache")
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
+# repeat wall-clock by an order of magnitude. The cache dir is scoped per
+# machine fingerprint (XLA:CPU AOT entries are microarch-specific).
 sys.path.insert(0, os.path.dirname(__file__))
+
+from kzg_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -148,11 +148,13 @@ def _bcast(a, b):
     )
 
 
-def _shift_up(carry):
-    """Move per-limb carries one limb position up; the top carry drops
+def _shift_up(carry, d: int = 1):
+    """Move per-limb carries d limb positions up; the top carries drop
     (i.e. arithmetic mod 2^(16L)), matching Montgomery's mod-R semantics."""
+    if d >= carry.shape[-1]:
+        return jnp.zeros_like(carry)
     return jnp.concatenate(
-        [jnp.zeros_like(carry[..., :1]), carry[..., :-1]], axis=-1
+        [jnp.zeros_like(carry[..., :d]), carry[..., :-d]], axis=-1
     )
 
 
@@ -160,39 +162,28 @@ def carry_fold(cols):
     """Redundant columns -> canonical limbs (< 2^16), mod 2^(16L).
 
     cols: uint32[..., K] with entries < 2^32 encoding value
-    sum_k cols[k]*2^(16k). Instead of an O(L) sequential carry scan, run
-    the carry-save normalization  v <- (v & mask) + (v >> 16) << 16limb
-    until no carries remain: 2 rounds shrink carries to {0,1}; further
-    rounds only ripple through saturated limbs, so the data-dependent
-    while_loop almost always exits after ~3 full-batch vector steps.
+    sum_k cols[k]*2^(16k). Fully static resolution — no data-dependent
+    while_loop (a while per fold forced a loop barrier XLA cannot fuse
+    across and dominated both compile and run time): two carry-save
+    folding steps bring every limb to <= 2^16 with carries in {0,1};
+    the remaining ripple is a boolean carry chain resolved by a
+    log2(K)-step Kogge-Stone lookahead (generate = limb overflowed,
+    propagate = limb saturated at 0xFFFF). ~12 cheap vector ops total.
     Returns (limbs, 0) — the legacy carry-out slot is retired; overflow
     past the top limb is dropped by construction.
     """
-    def has_carry(v):
-        return jnp.any(v >> LIMB_BITS)
-
-    def step(v):
-        return (v & LIMB_MASK) + _shift_up(v >> LIMB_BITS)
-
-    v = lax.while_loop(has_carry, step, cols)
-    return v, jnp.zeros_like(v[..., 0])
-
-
-def _normalize_signed(v):
-    """int32 redundant limbs (non-negative total value) -> canonical uint32.
-
-    Same fixpoint loop with arithmetic shifts, so negative limbs borrow
-    from the next position. Terminates because the represented value is
-    non-negative and magnitudes shrink monotonically.
-    """
-    def has_carry(x):
-        return jnp.any(x >> LIMB_BITS)  # arithmetic: 0 iff 0 <= limb < 2^16
-
-    def step(x):
-        return (x & LIMB_MASK) + _shift_up(x >> LIMB_BITS)
-
-    v = lax.while_loop(has_carry, step, v)
-    return v.astype(U32)
+    v = (cols & LIMB_MASK) + _shift_up(cols >> LIMB_BITS)  # <= 2^17 - 2
+    v = (v & LIMB_MASK) + _shift_up(v >> LIMB_BITS)        # <= 2^16
+    g = v >> LIMB_BITS                       # {0,1}: generates a carry
+    p = (v == LIMB_MASK).astype(U32)         # saturated: propagates
+    d = 1
+    while d < v.shape[-1]:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d *= 2
+    # g[i] is now the carry out of the prefix [0..i]; carry into i is g[i-1]
+    out = (v + _shift_up(g, 1)) & LIMB_MASK
+    return out, jnp.zeros_like(out[..., 0])
 
 
 def geq(a, b):
@@ -212,27 +203,35 @@ def geq(a, b):
     return greater | equal
 
 
+def _add_one_at_limb0(cols, inc):
+    """cols[..., 0] += inc (uint32[...] in {0,1}) without a scatter."""
+    pad = jnp.zeros(cols.shape[:-1] + (cols.shape[-1] - 1,), dtype=U32)
+    return cols + jnp.concatenate([inc[..., None], pad], axis=-1)
+
+
 def sub_borrow(a, b):
     """Limbwise a - b (canonical limbs). Returns (diff mod 2^(16L) limbs,
-    borrow_out in {0,1}). Kept for API parity; now built on the vectorized
-    compare + signed normalization."""
+    borrow_out in {0,1}). Borrow-free form: a - b == a + ~b + 1 (mod R)
+    with ~b the per-limb complement (LIMB_MASK - b, never negative), so
+    one unsigned carry_fold resolves everything statically."""
     borrow = (~geq(a, b)).astype(U32)
-    d = a.astype(jnp.int32) - b.astype(jnp.int32)
-    # if a < b, add R = 2^(16L) (as 2^16 worth of carry on the top limb)
-    # so the total is non-negative before normalizing
-    top = jnp.zeros_like(d)
-    top = top.at[..., -1].set((borrow << LIMB_BITS).astype(jnp.int32))
-    return _normalize_signed(d + top), borrow
+    cols = _add_one_at_limb0(a + (LIMB_MASK - b), jnp.ones_like(borrow))
+    out, _ = carry_fold(cols)
+    return out, borrow
 
 
 def _cond_sub_mod(spec: FieldSpec, x):
-    """x < 2m with canonical limbs -> x mod m."""
-    mod = jnp.broadcast_to(jnp.asarray(spec.mod_limbs, dtype=U32), x.shape)
-    need = geq(x, mod)
-    d = x.astype(jnp.int32) - jnp.where(
-        need[..., None], mod, jnp.zeros_like(mod)
-    ).astype(jnp.int32)
-    return _normalize_signed(d)
+    """x < 2m with canonical limbs -> x mod m.
+
+    Subtraction by complement addition: x - m == x + ~m + 1 (mod R); the
+    overflow past the top limb is exactly the R that carry_fold drops."""
+    mod = jnp.asarray(spec.mod_limbs, dtype=U32)
+    need = geq(x, jnp.broadcast_to(mod, x.shape))
+    mnot = LIMB_MASK - mod
+    cols = x + jnp.where(need[..., None], mnot, jnp.zeros_like(mnot))
+    cols = _add_one_at_limb0(cols, need.astype(U32))
+    out, _ = carry_fold(cols)
+    return out
 
 
 def add(spec: FieldSpec, a, b):
@@ -243,29 +242,43 @@ def add(spec: FieldSpec, a, b):
 
 
 def sub(spec: FieldSpec, a, b):
-    """(a - b) mod m."""
+    """(a - b) mod m, by complement addition (see _cond_sub_mod): when
+    a < b the modulus is folded into the same carry pass."""
     a, b = _bcast(a, b)
     lt = ~geq(a, b)  # a < b: add the modulus back
-    mod = jnp.broadcast_to(jnp.asarray(spec.mod_limbs, dtype=U32), a.shape)
-    d = (
-        a.astype(jnp.int32)
-        - b.astype(jnp.int32)
-        + jnp.where(lt[..., None], mod, jnp.zeros_like(mod)).astype(jnp.int32)
+    mod = jnp.asarray(spec.mod_limbs, dtype=U32)
+    cols = a + (LIMB_MASK - b) + jnp.where(
+        lt[..., None], jnp.broadcast_to(mod, a.shape), jnp.zeros_like(a)
     )
-    return _normalize_signed(d)
+    cols = _add_one_at_limb0(cols, jnp.ones(a.shape[:-1], dtype=U32))
+    out, _ = carry_fold(cols)
+    return out
 
 
 def neg(spec: FieldSpec, a):
     return sub(spec, jnp.zeros_like(a), a)
 
 
-def _shift_add_cols(cols, val, start: int, out: int):
-    """cols += val placed at limb offset `start` (static pad + add)."""
-    n = min(val.shape[-1], out - start)
-    if n <= 0:
-        return cols
-    pad = [(0, 0)] * (val.ndim - 1) + [(start, out - start - n)]
-    return cols + jnp.pad(val[..., :n], pad)
+def _skew_sum(rows, L: int, lead: int):
+    """Sum row i of (..., L, L) shifted right by (i + lead) limbs, into
+    (..., 2L) columns, with NO gathers and NO per-row op chains.
+
+    The skew is a single pad + reshape: padding each row to width 2L+1
+    and reinterpreting the flat buffer with stride 2L places row i at
+    column offset i (each row "loses" one position per step of the
+    stride mismatch) — the classic diagonal-alignment reshape. One
+    reduce-sum down the row axis then yields the column sums. Three
+    tensor ops total; the previous per-row shifted pad-add chain (2L
+    pads + 2L adds) built a dense dependency DAG that sent XLA's fusion
+    pass superlinear (~4s compile per field multiply on CPU, which made
+    every curve-level program minutes-to-hours to compile)."""
+    W = 2 * L + 1
+    bdims = rows.ndim - 2
+    padded = jnp.pad(rows, [(0, 0)] * bdims + [(0, 0), (lead, W - L - lead)])
+    flat = padded.reshape(padded.shape[:-2] + (L * W,))[..., : 2 * L * L]
+    return flat.reshape(flat.shape[:-1] + (L, 2 * L)).sum(
+        axis=-2, dtype=U32
+    )
 
 
 def _product_cols(a, b, out_limbs: int | None = None):
@@ -273,18 +286,16 @@ def _product_cols(a, b, out_limbs: int | None = None):
 
     a, b: uint32[..., L] with limbs < 2^16. Returns uint32[..., 2L] (or the
     first `out_limbs` columns) with column k = sum_{i+j=k} a_i*b_j split
-    into carry-save lo/hi halves; every column < 2L * 2^16 << 2^32, so no
-    intermediate carry propagation is needed. L static shifted pad-adds —
-    plain vector work, no gathers or scatters (both are slow on TPU).
+    into carry-save lo/hi halves; every column sums <= L terms < 2^16, so
+    entries stay < 2^21 and no intermediate carry propagation is needed.
+    One batched outer product + two skew-reshape reductions — plain
+    vector/reduce work, no gathers or scatters (both are slow on TPU).
     """
     L = a.shape[-1]
     out = 2 * L if out_limbs is None else out_limbs
-    cols = jnp.zeros(a.shape[:-1] + (out,), dtype=U32)
-    for i in range(L):
-        p = a[..., i : i + 1] * b  # (..., L), exact in uint32
-        cols = _shift_add_cols(cols, p & LIMB_MASK, i, out)
-        cols = _shift_add_cols(cols, p >> LIMB_BITS, i + 1, out)
-    return cols
+    p = a[..., :, None] * b[..., None, :]  # (..., L, L), exact in uint32
+    cols = _skew_sum(p & LIMB_MASK, L, 0) + _skew_sum(p >> LIMB_BITS, L, 1)
+    return cols[..., :out]
 
 
 def mont_mul(spec: FieldSpec, a, b):
