@@ -1,21 +1,39 @@
 """Multi-scalar multiplication (the reference's LinCombG1,
 bls/bls_kilic.go:132-150, backed by kilic's Pippenger MultiExp).
 
-TPU-native v1: batched double-and-add over all points simultaneously
-(255 iterations of fused double/conditional-add over the whole batch),
-followed by a log2(N) pairwise tree reduction — every step is full-batch
-vector work. A Pippenger windowed-bucket variant can slot in later; the
-tree shape here already gives the psum-friendly decomposition used by the
-sharded path (kzg_tpu.parallel.msm_sharded).
+TPU-native Pippenger analogue — the "shared-table windowed" MSM:
+
+    sum_i k_i * P_i  =  sum_j 16^j * S_j,    S_j = sum_i s_ij * P_i
+
+with s_ij the signed 4-bit digits of k_i (fr.scalar_windows_signed).
+Each point builds ONE small multiples table [0..8]*P_i (7 batched adds,
+shared by all 64 windows); each window sum S_j is a select-chain lookup
+(9 masked selects — plain VPU work, no gathers) followed by a batched
+binary tree reduction over the point axis, with all 64 windows stacked
+on a trailing batch axis so every tree level is one fused add over the
+whole (N/2^k, 64) block. The final combine is a single 63-step Horner
+loop (4 doublings + 1 add per window) on one point.
+
+Versus the v1 per-point windowed scalar-mul (256 doublings per point),
+this shares all doublings across the batch: ~770 Fp-muls per point
+instead of ~2700, with much shallower sequential depth — the same
+work-sharing that makes CPU Pippenger win, recast as full-batch vector
+ops. The per-window partial sums are also the natural unit for the
+sharded MSM (kzg_tpu.parallel.msm_sharded): shards reduce their local
+window sums, all-gather 64 points, and combine.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
-from .weierstrass import JacobianPoint
+from ..field import fr
+from .weierstrass import CurveOps, JacobianPoint
 from . import g1
+
+N_WINDOWS = 64
 
 
 def tree_reduce(ops, points: JacobianPoint) -> JacobianPoint:
@@ -38,12 +56,87 @@ def tree_reduce(ops, points: JacobianPoint) -> JacobianPoint:
     return JacobianPoint(points.x[0], points.y[0], points.z[0])
 
 
+def _multiples_table(ops: CurveOps, p: JacobianPoint) -> JacobianPoint:
+    """[0..8]*P stacked on a new leading axis: coords (9, N..., elem)."""
+    inf = ops.infinity_like(p)
+    t2 = ops.double(p)
+    t3 = ops.add(t2, p)
+    t4 = ops.double(t2)
+    t5 = ops.add(t4, p)
+    t6 = ops.double(t3)
+    t7 = ops.add(t6, p)
+    t8 = ops.double(t4)
+    entries = [inf, p, t2, t3, t4, t5, t6, t7, t8]
+    return JacobianPoint(
+        *(jnp.stack([getattr(e, c) for e in entries], axis=0)
+          for c in ("x", "y", "z"))
+    )
+
+
+def window_sums(ops: CurveOps, points: JacobianPoint,
+                scalars_mont) -> JacobianPoint:
+    """Per-window partial sums S_j = sum_i s_ij * P_i.
+
+    points: (N,) batch; scalars: (..., N) Fr Montgomery batch (leading
+    dims batch independent MSMs over the same points, e.g. per-blob
+    commitments). Returns a JacobianPoint with coords (..., 64, elem).
+    """
+    edim = ops._edim
+    digits = fr.scalar_windows_signed(scalars_mont)  # (..., N, 64)
+    digits = jnp.moveaxis(digits, -2, 0)             # (N, ..., 64)
+    bdims = digits.ndim - 2                          # scalar batch rank
+    table = _multiples_table(ops, points)            # coords (9, N, elem)
+
+    mag = jnp.abs(digits)
+    negm = digits < 0                                # (N, ..., 64)
+    mag = mag.reshape(mag.shape + (1,) * edim)       # (N, ..., 64, 1*edim)
+
+    def sel(c):
+        # c: (9, N, elem) -> broadcast over scalar batch + window axes
+        cexp = c.reshape((9, c.shape[1]) + (1,) * (bdims + 1) + c.shape[2:])
+        res = jnp.broadcast_to(cexp[0], mag.shape[:-edim] + c.shape[2:])
+        for k in range(1, 9):
+            res = jnp.where(mag == k, cexp[k], res)
+        return res
+
+    selected = JacobianPoint(sel(table.x), sel(table.y), sel(table.z))
+    # negative digit -> negate the point (one field negation on y)
+    selected = JacobianPoint(
+        selected.x,
+        ops.F.select(negm, ops.F.neg(selected.y), selected.y),
+        selected.z,
+    )
+    return tree_reduce(ops, selected)  # coords (..., 64, elem)
+
+
+def horner_windows(ops: CurveOps, wsums: JacobianPoint) -> JacobianPoint:
+    """Combine LSB-first window sums: acc = sum_j 16^j * S_j via Horner
+    (63 iterations of 4 doublings + 1 add). wsums coords: (..., 64, elem);
+    returns coords (..., elem)."""
+    edim = ops._edim
+    waxis = wsums.x.ndim - edim - 1
+
+    def at(j):
+        return JacobianPoint(
+            *(lax.dynamic_index_in_dim(c, j, axis=waxis, keepdims=False)
+              for c in wsums)
+        )
+
+    acc0 = at(N_WINDOWS - 1)
+
+    def body(i, acc):
+        acc = lax.fori_loop(0, 4, lambda _, a: ops.double(a), acc)
+        return ops.add(acc, at(N_WINDOWS - 2 - i))
+
+    return lax.fori_loop(0, N_WINDOWS - 1, body, acc0)
+
+
 @jax.jit
 def lin_comb_g1(points: JacobianPoint, scalars_mont) -> JacobianPoint:
     """MSM: sum_i scalars[i] * points[i]. points: (N,) G1 batch,
-    scalars: (N,) Fr Montgomery batch. Returns a single point."""
-    prods = g1.mul(points, scalars_mont)
-    return tree_reduce(g1.ops, prods)
+    scalars: (..., N) Fr Montgomery batch (leading dims = independent
+    MSMs over the same points). Returns coords (..., elem)."""
+    return horner_windows(g1.ops, window_sums(g1.ops, points, scalars_mont))
 
 
 @jax.jit

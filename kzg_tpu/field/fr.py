@@ -100,6 +100,34 @@ def scalar_windows(a_mont):
     return wins.reshape(canon.shape[:-1] + (64,))
 
 
+# bias for signed-window recoding: 63 low nibbles of 8 (top nibble 0)
+_SIGNED_WINDOW_BIAS = int("8" * 63, 16)
+
+
+def scalar_windows_signed(a_mont):
+    """Signed 4-bit window decomposition of Montgomery-form scalars.
+
+    Returns int32[..., 64] digits s (LSB-first) with
+    sum_j s_j * 16^j == a (canonical), s_j in [-8, 7] for j < 63 and
+    s_63 in [0, 8].
+
+    Branch-free bias trick: adding 0x0888...8 (63 eights) to the canonical
+    scalar shifts every low window's digit by +8 with the carries folded in,
+    so s_j = d'_j - 8; the top window absorbs the final carry (a < 2^255
+    keeps the biased sum below 2^256, so no overflow). Feeds the
+    shared-table MSM (curve/msm.py) and halves its select-table size vs
+    unsigned 4-bit windows (negation of a curve point is one field neg).
+    """
+    canon = limbs.from_mont(SPEC, a_mont)  # (..., 16) canonical limbs
+    bias = jnp.asarray(limbs.int_to_limbs(_SIGNED_WINDOW_BIAS, N_LIMBS))
+    biased, _ = limbs.carry_fold(canon + bias)
+    shifts = jnp.asarray([0, 4, 8, 12], dtype=jnp.uint32)
+    wins = ((biased[..., :, None] >> shifts) & 0xF).reshape(
+        canon.shape[:-1] + (64,)
+    ).astype(jnp.int32)
+    return jnp.concatenate([wins[..., :63] - 8, wins[..., 63:]], axis=-1)
+
+
 def scalar_bits(a_mont):
     """Canonical bit decomposition of Montgomery-form scalars.
 

@@ -1,24 +1,26 @@
 """Multi-scalar multiplication sharded over the CRS point axis.
 
-The TP-analogue reduction (SURVEY.md section 2 "Reduction parallel"):
-each shard multiplies its slice of the CRS by its slice of the scalars
-and tree-reduces locally; the D partial sums are then all-gathered and
-combined on every shard (point addition is a group op, not an arithmetic
-sum, so the combine is an explicit log2(D) Jacobian-add tree rather than
-a psum).
+The TP-analogue reduction (SURVEY.md section 2 "Reduction parallel"),
+built on the shared-table windowed MSM (curve/msm.py): each shard
+computes the 64 per-window partial sums over its slice of the points
+(batched adds only — no scalar-mul loops inside shard_map, which keeps
+the SPMD program small and fast to compile), the D x 64 partials are
+all-gathered, combined with a log2(D) Jacobian-add tree (point addition
+is a group op, not an arithmetic sum, so the combine is an explicit add
+tree rather than a psum), and one replicated 63-step Horner pass folds
+the window axis.
 """
 
 from __future__ import annotations
 
 import functools
 
-import jax.numpy as jnp
 from jax import lax
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..curve import g1
-from ..curve.msm import tree_reduce
+from ..curve.msm import horner_windows, tree_reduce, window_sums
 from ..curve.weierstrass import JacobianPoint
 
 
@@ -41,13 +43,13 @@ def lin_comb_g1_sharded(points: JacobianPoint, scalars_mont, mesh: Mesh,
         check_rep=False,
     )
     def run(px, py, pz, sc):
-        prods = g1.mul(JacobianPoint(px, py, pz), sc)
-        partial = tree_reduce(g1.ops, prods)  # one point per shard
-        gx = lax.all_gather(partial.x, axis)  # (D, 24)
-        gy = lax.all_gather(partial.y, axis)
-        gz = lax.all_gather(partial.z, axis)
-        total = tree_reduce(g1.ops, JacobianPoint(gx, gy, gz))
-        return total.x[None], total.y[None], total.z[None]
+        ws = window_sums(g1.ops, JacobianPoint(px, py, pz), sc)  # (64, 24)
+        gx = lax.all_gather(ws.x, axis)  # (D, 64, 24)
+        gy = lax.all_gather(ws.y, axis)
+        gz = lax.all_gather(ws.z, axis)
+        total = tree_reduce(g1.ops, JacobianPoint(gx, gy, gz))  # (64, 24)
+        res = horner_windows(g1.ops, total)
+        return res.x[None], res.y[None], res.z[None]
 
     x, y, z = run(points.x, points.y, points.z, scalars_mont)
     return JacobianPoint(x[0], y[0], z[0])

@@ -84,6 +84,56 @@ def test_msm_vs_host():
         host_ec.g1_generator(), sum(base))
 
 
+def test_msm_edge_inputs():
+    """Zero scalars and infinity points must drop out of the sum."""
+    ks = [0, 5, 0, 7]
+    base = [2, 9, 3, 1]
+    pts = g1.mul(g1.generator((4,)), jnp.asarray(fr.from_int(base)))
+    # make point 3 the infinity point
+    inf = g1.infinity()
+    pts = JacobianPoint(
+        pts.x.at[3].set(jnp.asarray(inf.x)),
+        pts.y.at[3].set(jnp.asarray(inf.y)),
+        pts.z.at[3].set(jnp.asarray(inf.z)),
+    )
+    msm = lin_comb_g1(pts, jnp.asarray(fr.from_int(ks)))
+    total = 5 * 9  # only index 1 contributes
+    assert g1.to_affine_ints(msm) == host_ec.g1_mul(
+        host_ec.g1_generator(), total)
+
+
+def test_msm_batched_scalars():
+    """Leading scalar batch dims = independent MSMs over shared points
+    (the per-blob commitment layout, eth/helpers.go:165-175)."""
+    base = [3, 1, 4, 1, 5, 9, 2, 6]
+    pts = g1.mul(g1.generator((8,)), jnp.asarray(fr.from_int(base)))
+    ks = np.asarray([rand_scalars(8), rand_scalars(8)])
+    msm = lin_comb_g1(pts, jnp.asarray(fr.from_int(ks.tolist())))
+    G = host_ec.g1_generator()
+    exp = [
+        host_ec.g1_mul(G, sum(int(k) * b for k, b in zip(row, base)) % MOD)
+        for row in ks
+    ]
+    assert g1.to_affine_ints(msm) == exp
+
+
+@pytest.mark.heavy
+def test_msm_production_width():
+    """2^12-point MSM (the eth commitment width) vs the exact host oracle
+    (reference MultiExp sees this width in commit_bench_test.go:12-36)."""
+    n = 1 << 12
+    rng = np.random.default_rng(7)
+    base = [int(rng.integers(1, 2**62)) for _ in range(n)]
+    ks = [int(rng.integers(0, 2**62)) * int(rng.integers(0, 2**62)) % MOD
+          for _ in range(n)]
+    G = host_ec.g1_generator()
+    pts_aff = [host_ec.g1_mul(G, b) for b in base]
+    pts = g1.from_affine_ints(pts_aff)
+    msm = lin_comb_g1(pts, jnp.asarray(fr.from_int(ks)))
+    total = sum(k * b for k, b in zip(ks, base)) % MOD
+    assert g1.to_affine_ints(msm) == host_ec.g1_mul(G, total)
+
+
 def test_g2_ops_vs_host():
     H = host_ec.g2_generator()
     ks = [2, 7, 11]

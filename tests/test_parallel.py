@@ -12,9 +12,12 @@ import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 import oracle
+from kzg_tpu.curve import g1
+from kzg_tpu.curve.msm import lin_comb_g1
+from kzg_tpu.curve.weierstrass import JacobianPoint
 from kzg_tpu.field import fr
 from kzg_tpu.ntt import FFTSettings
-from kzg_tpu.parallel import fft_sharded, make_mesh
+from kzg_tpu.parallel import fft_sharded, lin_comb_g1_sharded, make_mesh
 
 MOD = fr.SPEC.modulus
 
@@ -54,6 +57,50 @@ def test_fft_sharded_rejects_small_local(mesh8):
     vals = jnp.asarray(fr.from_int(list(range(16))))  # local=2 < D=8
     with pytest.raises(ValueError):
         fft_sharded(fs, vals, mesh8)
+
+
+def _sharded_points(mesh, n, seed):
+    rng = np.random.default_rng(seed)
+    base = [int(rng.integers(1, 2**62)) for _ in range(n)]
+    pts = g1.mul(g1.generator((n,)), jnp.asarray(fr.from_int(base)))
+    sharding = NamedSharding(mesh, P("elem", None))
+    pts = JacobianPoint(*(jax.device_put(c, sharding) for c in pts))
+    ks = [int(rng.integers(0, 2**62)) * int(rng.integers(0, 2**62)) % MOD
+          for _ in range(n)]
+    sc = jax.device_put(jnp.asarray(fr.from_int(ks)), sharding)
+    return pts, sc
+
+
+def test_msm_sharded_matches_single_device(mesh8):
+    pts, sc = _sharded_points(mesh8, 32, seed=11)
+    out = lin_comb_g1_sharded(pts, sc, mesh8)
+    ref = lin_comb_g1(
+        JacobianPoint(*(jnp.asarray(c) for c in pts)), jnp.asarray(sc)
+    )
+    assert bool(g1.eq(out, ref))
+    # bit-exact coordinates, not just projective equality: both paths run
+    # the same add tree over the same Jacobian representatives
+    assert all(
+        bool(jnp.array_equal(a, b)) for a, b in zip(out, ref)
+    )
+
+
+def test_msm_sharded_odd_local_count(mesh8):
+    """Non-uniform case: local shard size 3 (odd) exercises the
+    infinity-padding inside each shard's reduction tree."""
+    pts, sc = _sharded_points(mesh8, 24, seed=12)
+    out = lin_comb_g1_sharded(pts, sc, mesh8)
+    ref = lin_comb_g1(
+        JacobianPoint(*(jnp.asarray(c) for c in pts)), jnp.asarray(sc)
+    )
+    assert bool(g1.eq(out, ref))
+
+
+def test_msm_sharded_rejects_indivisible(mesh8):
+    pts, sc = _sharded_points(mesh8, 8, seed=13)
+    bad = JacobianPoint(pts.x[:6], pts.y[:6], pts.z[:6])
+    with pytest.raises(ValueError):
+        lin_comb_g1_sharded(bad, sc[:6], mesh8)
 
 
 def test_make_mesh_shapes():
