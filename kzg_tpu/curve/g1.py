@@ -49,6 +49,7 @@ to_affine = ops.to_affine
 from_affine = ops.from_affine
 mul = ops.scalar_mul  # MulG1(point, Fr scalar)
 mul_small = ops.mul_small
+in_subgroup = ops.in_subgroup
 
 
 def from_affine_ints(coords) -> JacobianPoint:

@@ -49,6 +49,7 @@ is_infinity = ops.is_infinity
 to_affine = ops.to_affine
 from_affine = ops.from_affine
 mul = ops.scalar_mul  # MulG2(point, Fr scalar)
+in_subgroup = ops.in_subgroup
 mul_small = ops.mul_small
 
 

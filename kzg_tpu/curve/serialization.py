@@ -12,7 +12,9 @@ sqrt(a) = a^((p+1)/4).
 
 from __future__ import annotations
 
-from ..field.constants import CURVE_B, FP_MODULUS
+import numpy as np
+
+from ..field.constants import CURVE_B, FP_MODULUS, FR_MODULUS
 
 P = FP_MODULUS
 
@@ -52,6 +54,24 @@ def _sqrt_fp2(a0: int, a1: int):
     return None
 
 
+def g1_in_subgroup(affine) -> bool:
+    """r-torsion membership: [r]P == O. BLS12-381's G1 cofactor is
+    ~2^125, so on-curve does NOT imply in-subgroup; the reference's
+    FromCompressedG1 rejects wrong-subgroup points via kilic
+    (bls/bls_kilic.go:122-130) and every verify entry point depends on
+    it (consensus security, not a nicety)."""
+    from ..utils import host_ec
+
+    return affine is None or host_ec.g1_mul(affine, FR_MODULUS) is None
+
+
+def g2_in_subgroup(affine) -> bool:
+    """r-torsion membership for G2 (cofactor ~2^380)."""
+    from ..utils import host_ec
+
+    return affine is None or host_ec.g2_mul(affine, FR_MODULUS) is None
+
+
 def compress_g1(affine) -> bytes:
     """(x, y) ints or None (infinity) -> 48 bytes."""
     if affine is None:
@@ -88,7 +108,91 @@ def decompress_g1(data: bytes):
     y_is_big = y > (P - 1) // 2
     if bool(flags & 0x20) != y_is_big:
         y = (P - y) % P
+    if not g1_in_subgroup((x, y)):
+        raise ValueError("point not in the r-order subgroup")
     return (x, y)
+
+
+def decompress_g1_batch(datas, subgroup_check: bool = True):
+    """Vectorized FromCompressedG1 over N 48-byte encodings.
+
+    One device dispatch covers the Fp square roots (p = 3 mod 4 exponent
+    ladder), on-curve checks, canonical sign comparison and the batched
+    subgroup check — the reference instead runs kilic's per-point
+    FromCompressed over the whole 2MB ceremony file at init
+    (eth/globals.go:39-72). Returns a list of affine (x, y) ints / None;
+    raises ValueError if ANY entry is invalid.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..field import fp, limbs
+    from . import g1 as g1mod
+    from .weierstrass import JacobianPoint
+
+    xs, signs, infs = [], [], []
+    for d in datas:
+        d = bytes(d)
+        if len(d) != 48:
+            raise ValueError("G1 compressed point must be 48 bytes")
+        flags = d[0]
+        if not flags & 0x80:
+            raise ValueError("uncompressed form not supported")
+        if flags & 0x40:
+            if any(d[1:]) or (flags & 0x3F):
+                raise ValueError("invalid infinity encoding")
+            infs.append(True)
+            xs.append(0)
+            signs.append(False)
+            continue
+        x = int.from_bytes(bytes([flags & 0x1F]) + d[1:], "big")
+        if x >= P:
+            raise ValueError("x out of range")
+        infs.append(False)
+        xs.append(x)
+        signs.append(bool(flags & 0x20))
+    if not xs:
+        return []
+
+    @functools.partial(jax.jit, static_argnames=("check",))
+    def core(x_mont, check: bool):
+        b = jnp.asarray(fp.from_int(CURVE_B))
+        y2 = fp.add(fp.mul(fp.sqr(x_mont), x_mont), b)
+        y = fp.pow_static(y2, (P + 1) // 4)
+        on_curve = fp.eq(fp.mul(y, y), y2)
+        y_can = limbs.from_mont(fp.SPEC, y)
+        half = jnp.asarray(limbs.int_to_limbs((P + 1) // 2, fp.N_LIMBS))
+        y_big = limbs.geq(y_can, jnp.broadcast_to(half, y_can.shape))
+        if check:
+            pt = JacobianPoint(x_mont, y, fp.one_like(x_mont))
+            ok_sub = g1mod.ops.in_subgroup(pt)
+        else:
+            ok_sub = jnp.ones_like(on_curve)
+        return y, on_curve, y_big, ok_sub
+
+    x_mont = fp.from_int_batch(xs)
+    y, on_curve, y_big, ok_sub = core(x_mont, subgroup_check)
+    y_ints = fp.to_int_batch(y)
+    on_curve = np.asarray(jax.device_get(on_curve))
+    y_big = np.asarray(jax.device_get(y_big))
+    ok_sub = np.asarray(jax.device_get(ok_sub))
+
+    out = []
+    for i, inf in enumerate(infs):
+        if inf:
+            out.append(None)
+            continue
+        if not bool(on_curve[i]):
+            raise ValueError("point not on curve")
+        if not bool(ok_sub[i]):
+            raise ValueError("point not in the r-order subgroup")
+        yi = y_ints[i]
+        if signs[i] != bool(y_big[i]):
+            yi = (P - yi) % P
+        out.append((xs[i], yi))
+    return out
 
 
 def compress_g2(affine) -> bytes:
@@ -136,6 +240,8 @@ def decompress_g2(data: bytes):
             y0 = 0
         if y1 == P:
             y1 = 0
+    if not g2_in_subgroup(((x0, x1), (y0, y1))):
+        raise ValueError("point not in the r-order subgroup")
     return ((x0, x1), (y0, y1))
 
 

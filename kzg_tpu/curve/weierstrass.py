@@ -247,6 +247,34 @@ class CurveOps:
 
         return lax.fori_loop(0, 255, body, acc0)
 
+    def mul_static_int(self, p: JacobianPoint, k: int) -> JacobianPoint:
+        """p * k for a static (arbitrarily large) non-negative Python int.
+
+        Bit-serial ladder over a constant bit table inside a fori_loop,
+        so the double/add pair traces once regardless of bit length
+        (compile-light; used by the batched subgroup check)."""
+        if k == 0:
+            return self.infinity_like(p)
+        nbits = k.bit_length()
+        bits = jnp.asarray(
+            [(k >> (nbits - 1 - i)) & 1 for i in range(nbits)],
+            dtype=jnp.uint32,
+        )
+
+        def body(i, acc):
+            acc = self.double(acc)
+            added = self.add(acc, p)
+            return self._select_point(bits[i] == 1, added, acc)
+
+        return lax.fori_loop(0, nbits, body, self.infinity_like(p))
+
+    def in_subgroup(self, p: JacobianPoint):
+        """r-torsion membership mask: [r]P == O (batched). The cofactors
+        of BLS12-381 G1/G2 are large, so on-curve does not imply
+        in-subgroup (reference validates on deserialization,
+        bls/bls_kilic.go:122-130)."""
+        return self.is_infinity(self.mul_static_int(p, fr.SPEC.modulus))
+
     def mul_small(self, p: JacobianPoint, k: int) -> JacobianPoint:
         """p * k for a small static non-negative integer."""
         acc = self.infinity_like(p)

@@ -186,9 +186,12 @@ def compute_aggregate_kzg_proof(es: EthSettings,
     if len(polys) == 0:
         # proof over zero blobs: commitment to the zero polynomial
         return serialization.compress_g1(None)
+    # all per-blob commitment MSMs in ONE dispatch: the MSM batches
+    # leading scalar dims over shared points (curve/msm.py), so the blob
+    # axis rides along (reference loops per blob, eth/helpers.go:165-175)
+    pts = es._jit_commit(polys)  # coords (B, 24)
     comms = [
-        polynomial_to_kzg_commitment(es, polys[i])
-        for i in range(len(polys))
+        serialization.compress_g1(a) for a in g1mod.to_affine_ints(pts)
     ]
     agg_poly, _, challenge = compute_aggregated_poly_and_commitment(
         es, polys, comms

@@ -79,3 +79,27 @@ def from_int(values) -> np.ndarray:
 
 def to_int(arr) -> np.ndarray:
     return SPEC.decode(arr)
+
+
+def from_int_batch(ints):
+    """Iterable of N Python ints -> Montgomery uint32[N, 24] with one
+    device multiply (vectorized encode: the per-element Python limb loop
+    of SPEC.encode is too slow at trusted-setup width)."""
+    buf = b"".join((int(v) % SPEC.modulus).to_bytes(48, "little")
+                   for v in ints)
+    raw = (np.frombuffer(buf, dtype="<u2")
+           .reshape(-1, N_LIMBS).astype(np.uint32))
+    r2 = jnp.asarray(SPEC.r2_limbs)
+    return limbs.mont_mul(SPEC, jnp.asarray(raw), r2)
+
+
+def to_int_batch(arr):
+    """Montgomery uint32[..., 24] -> flat list of canonical Python ints
+    (vectorized decode)."""
+    import jax
+
+    canon = np.asarray(
+        jax.device_get(limbs.from_mont(SPEC, arr)), dtype=np.uint32
+    ).reshape(-1, N_LIMBS).astype("<u2")
+    rows = canon.view(np.uint8).reshape(-1, 2 * N_LIMBS)
+    return [int.from_bytes(r.tobytes(), "little") for r in rows]

@@ -1,10 +1,11 @@
 """Ceremony-file loader parity: parse the reference's actual
 trusted_setup.json schema (eth/globals.go:33-37).
 
-Decompressing all 3x4096 points takes minutes in host Python, so this
-test validates the format contract on a truncated copy: the first 16
-points of each section, re-derived domain, commitment consistency.
-Skipped when the reference file isn't mounted.
+The fast tier validates the format contract on a truncated copy (first
+16 points of each section); the heavy tier loads the FULL production
+file (batched device decompression, serialization.decompress_g1_batch)
+and runs the blob pipeline end-to-end at width 4096. Skipped when the
+reference file isn't mounted.
 """
 
 import json
@@ -58,3 +59,73 @@ def test_ceremony_g1_monomials_consistent():
     for h in data["setup_G1"][:4]:
         pt = serialization.decompress_g1(bytes.fromhex(h))
         assert serialization.compress_g1(pt).hex() == h
+
+
+@pytest.mark.heavy
+@pytest.mark.skipif(not os.path.exists(REF_SETUP),
+                    reason="reference setup not mounted")
+def test_production_width_end_to_end():
+    """Load the reference's full 4096-point ceremony file and run the
+    EIP-4844 pipeline at production width: blob -> commitment -> point
+    proof -> pairing verify -> precompile (reference width:
+    eth/globals.go:27-72, eth/eth.go:76-110)."""
+    import numpy as np
+
+    from kzg_tpu import eth
+    from kzg_tpu.field.constants import FR_MODULUS
+
+    es = eth.EthSettings.from_json(REF_SETUP)
+    assert es.width == 4096
+
+    rng = np.random.default_rng(44)
+    vals = [int(rng.integers(0, 2**62)) * int(rng.integers(0, 2**62))
+            % FR_MODULUS for _ in range(es.width)]
+    blob = b"".join(v.to_bytes(32, "little") for v in vals)
+
+    comm = eth.blob_to_kzg_commitment(es, blob)
+    assert comm is not None
+    poly = eth.blob_to_polynomial(es, blob)
+    z = 0xDEADBEEF0123456789
+    assert z % FR_MODULUS not in es.domain_set
+    proof = eth.compute_kzg_proof(es, poly, z)
+    y = eth.evaluate_polynomial_in_evaluation_form(es, poly, z)
+
+    inp = (
+        eth.kzg_to_versioned_hash(comm)
+        + z.to_bytes(32, "little")
+        + y.to_bytes(32, "little")
+        + comm
+        + proof
+    )
+    out = eth.point_evaluation_precompile(es, inp)
+    assert out[:32] == es.width.to_bytes(32, "big")
+
+    # corrupting y must revert
+    bad = bytearray(inp)
+    bad[64] ^= 1
+    with pytest.raises(ValueError):
+        eth.point_evaluation_precompile(es, bytes(bad))
+
+
+@pytest.mark.heavy
+@pytest.mark.skipif(not os.path.exists(REF_SETUP),
+                    reason="reference setup not mounted")
+def test_production_width_aggregate_proof():
+    """Aggregate proof over 2 production-width blobs, commitments batched
+    on the blob axis (reference: ComputeAggregateKZGProof /
+    VerifyAggregateKZGProof, eth/eth.go:155-181)."""
+    import numpy as np
+
+    from kzg_tpu import eth
+    from kzg_tpu.field.constants import FR_MODULUS
+
+    es = eth.EthSettings.from_json(REF_SETUP)
+    rng = np.random.default_rng(45)
+    blobs = []
+    for _ in range(2):
+        vals = [int(rng.integers(0, 2**62)) % FR_MODULUS
+                for _ in range(es.width)]
+        blobs.append(b"".join(v.to_bytes(32, "little") for v in vals))
+    comms = [eth.blob_to_kzg_commitment(es, b) for b in blobs]
+    agg = eth.compute_aggregate_kzg_proof(es, blobs)
+    assert eth.verify_aggregate_kzg_proof(es, blobs, comms, agg)

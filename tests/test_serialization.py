@@ -51,6 +51,75 @@ def test_g1_invalid_rejected():
         serialization.decompress_g1(b"\xc0" + b"\x01" + b"\x00" * 46)
 
 
+def _wrong_subgroup_g1():
+    """An on-curve G1 point outside the r-order subgroup (the cofactor is
+    ~2^125, so a random curve point is essentially never in G1)."""
+    from kzg_tpu.field.constants import CURVE_B, FP_MODULUS
+
+    P = FP_MODULUS
+    for x in range(1, 100):
+        y2 = (pow(x, 3, P) + CURVE_B) % P
+        y = pow(y2, (P + 1) // 4, P)
+        if y * y % P != y2:
+            continue
+        pt = (x, y)
+        if host_ec.g1_mul(pt, FR_MODULUS) is not None:
+            return pt
+    raise AssertionError("no wrong-subgroup point found")
+
+
+def test_g1_wrong_subgroup_rejected():
+    """On-curve but wrong-subgroup encodings must be rejected
+    (reference: kilic's FromCompressed validates, bls/bls_kilic.go:122-130)."""
+    pt = _wrong_subgroup_g1()
+    assert not serialization.g1_in_subgroup(pt)
+    enc = serialization.compress_g1(pt)
+    with pytest.raises(ValueError, match="subgroup"):
+        serialization.decompress_g1(enc)
+    # the generator itself still passes
+    assert serialization.g1_in_subgroup(host_ec.g1_generator())
+
+
+def test_g2_wrong_subgroup_rejected():
+    from kzg_tpu.field.constants import FP_MODULUS
+    from kzg_tpu.curve.serialization import _sqrt_fp2
+
+    P = FP_MODULUS
+    pt = None
+    for xr in range(1, 60):
+        x = (xr, 1)
+        x0_3 = (x[0] * (x[0] * x[0] - 3 * x[1] * x[1])) % P
+        x1_3 = (x[1] * (3 * x[0] * x[0] - x[1] * x[1])) % P
+        y = _sqrt_fp2((x0_3 + 4) % P, (x1_3 + 4) % P)
+        if y is None:
+            continue
+        cand = (x, y)
+        if host_ec.g2_mul(cand, FR_MODULUS) is not None:
+            pt = cand
+            break
+    assert pt is not None
+    assert not serialization.g2_in_subgroup(pt)
+    enc = serialization.compress_g2(pt)
+    with pytest.raises(ValueError, match="subgroup"):
+        serialization.decompress_g2(enc)
+    assert serialization.g2_in_subgroup(host_ec.g2_generator())
+
+
+def test_device_subgroup_check_matches_host():
+    import jax.numpy as jnp
+
+    from kzg_tpu.curve import g1 as g1m
+    from kzg_tpu.field import fr
+
+    good = g1m.mul(g1m.generator((2,)), jnp.asarray(fr.from_int([3, 19])))
+    bad = g1m.from_affine_ints([_wrong_subgroup_g1()])
+    import jax
+
+    check = jax.jit(g1m.in_subgroup)
+    assert [bool(v) for v in check(good)] == [True, True]
+    assert [bool(v) for v in check(bad)] == [False]
+
+
 def test_pairing_bilinearity():
     g1 = host_ec.g1_generator()
     g2 = host_ec.g2_generator()
