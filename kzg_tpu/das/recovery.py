@@ -119,29 +119,8 @@ def recover_poly_from_samples(fs: FFTSettings, samples, missing_indices):
     return recovered
 
 
-def erasure_code_recover(fs: FFTSettings, samples, missing_indices,
-                         seed: int = 42, max_tries: int = 10):
-    """Legacy-parity recovery with a randomized coset shift and retries
-    (reference: ErasureCodeRecover, legacy_recovery.go:162-283, which
-    draws random k until the shifted zero poly is invertible everywhere).
-    Same result as recover_poly_from_samples; kept for API parity and as
-    an independent cross-check path.
-    """
-    n = samples.shape[0]
-    if len(missing_indices) > n // 2:
-        raise ValueError("cannot recover from more than n/2 missing samples")
-    rng = np.random.default_rng(seed)
-    for _ in range(max_tries):
-        k = int(rng.integers(2, 1 << 30))
-        if pow(k, n, FR_MODULUS) == 1:
-            continue  # k in the domain: shifted zero poly still vanishes
-        recovered, eval_z = _recover_with_shift(
-            fs, samples, list(missing_indices), n, k
-        )
-        if bool(jnp.any(fr.is_zero(eval_z))):
-            continue  # bad shift, retry with new k
-        mask = np.ones(n, dtype=bool)
-        mask[list(missing_indices)] = False
-        if bool(jnp.all(fr.eq(recovered, samples) | ~jnp.asarray(mask))):
-            return recovered
-    raise ValueError("erasure recovery failed after retries")
+# The legacy randomized-shift recovery lives in das/legacy.py as a fully
+# independent second implementation (its own zero-poly construction and
+# batch inversion), mirroring the reference's legacy_recovery.go role as
+# a differential oracle for this modern pipeline.
+from .legacy import erasure_code_recover  # noqa: E402,F401

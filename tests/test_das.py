@@ -12,10 +12,12 @@ import pytest
 
 import oracle
 from kzg_tpu.das import (
+    batch_inv,
     erasure_code_recover,
     recover_poly_from_samples,
     shift_poly,
     unshift_poly,
+    zero_poly_direct,
 )
 from kzg_tpu.das.zero_poly import zero_poly_via_multiplication
 from kzg_tpu.field import fr
@@ -52,6 +54,45 @@ def test_zero_poly_single_index():
     exp_evals, exp_coeffs = oracle.zero_poly([3], 16, 16)
     assert [int(v) for v in fr.to_int(ze)] == exp_evals
     assert [int(v) for v in fr.to_int(zc)] == exp_coeffs
+
+
+def test_zero_poly_multi_leaf_tree():
+    """>64 missing indices activates the batched product tree
+    (LEAF_FACTORS=64): scale 8, half missing -> 2 leaves + 1 reduce
+    level, value-checked against the direct-expansion construction
+    (reference's tree-vs-direct property test, zero_poly_test.go:51-131)."""
+    scale = 8
+    fs = FFTSettings(scale + 1)
+    n = 1 << scale
+    rng = np.random.default_rng(88)
+    missing = sorted(rng.choice(n, size=n // 2, replace=False).tolist())
+    assert len(missing) > 64
+    ze, zc = zero_poly_via_multiplication(fs, missing, n)
+    zc_direct = zero_poly_direct(fs, missing, n)
+    assert [int(v) for v in fr.to_int(zc)] == [
+        int(v) for v in fr.to_int(zc_direct)]
+    # evals vanish exactly on the missing set
+    ev = [int(v) for v in fr.to_int(ze)]
+    for i in range(n):
+        assert (ev[i] == 0) == (i in set(missing))
+
+
+def test_zero_poly_direct_vs_oracle():
+    fs = FFTSettings(5)
+    missing = [1, 5, 17, 30]
+    zc = zero_poly_direct(fs, missing, 32)
+    _, exp_coeffs = oracle.zero_poly(missing, 32, fs.max_width)
+    assert [int(v) for v in fr.to_int(zc)] == exp_coeffs
+
+
+def test_batch_inv_matches_fermat():
+    rng = np.random.default_rng(17)
+    vals = [int(rng.integers(1, 2**62)) * int(rng.integers(1, 2**62)) % MOD
+            for _ in range(13)]
+    vals = [v if v else 1 for v in vals]
+    arr = jnp.asarray(fr.from_int(vals))
+    got = [int(v) for v in fr.to_int(batch_inv(arr))]
+    assert got == [pow(v, -1, MOD) for v in vals]
 
 
 def test_shift_unshift_roundtrip():
@@ -119,6 +160,73 @@ def test_erasure_code_recover_legacy_parity():
     for i in missing:
         samples[i] = 0
     rec = erasure_code_recover(
+        fs, jnp.asarray(fr.from_int(samples)), missing)
+    assert [int(v) for v in fr.to_int(rec)] == evals
+
+
+def test_legacy_vs_modern_differential():
+    """The two recovery implementations (independent zero-poly and
+    inversion strategies, das/legacy.py vs das/recovery.py) must agree
+    bit-exactly — the reference's legacy/modern cross-check
+    (legacy_recovery_test.go vs recover_from_samples_test.go)."""
+    scale = 5
+    fs = FFTSettings(scale + 1)
+    n = 1 << scale
+    rng = np.random.default_rng(14)
+    coeffs_int = [int(rng.integers(0, 2**62)) % MOD
+                  for _ in range(n // 2)] + [0] * (n // 2)
+    evals = oracle.fft(coeffs_int)
+    missing = sorted(rng.choice(n, size=n // 2, replace=False).tolist())
+    samples = list(evals)
+    for i in missing:
+        samples[i] = 0
+    arr = jnp.asarray(fr.from_int(samples))
+    modern = recover_poly_from_samples(fs, arr, missing)
+    legacy = erasure_code_recover(fs, arr, missing)
+    assert [int(v) for v in fr.to_int(modern)] == [
+        int(v) for v in fr.to_int(legacy)]
+
+
+@pytest.mark.heavy
+@pytest.mark.parametrize("ratio", [0.1, 0.25, 0.5, 0.75, 0.9])
+def test_zero_poly_scale12_ratios(ratio):
+    """Reference sweep: zero-poly over large scales x ratios
+    (zero_poly_test.go:51-131 goes to scale 12 x 8 ratios)."""
+    scale = 12
+    fs = FFTSettings(scale + 1)
+    n = 1 << scale
+    rng = np.random.default_rng(int(ratio * 100))
+    m = min(max(1, int(n * ratio)), n - 1)
+    missing = sorted(rng.choice(n, size=m, replace=False).tolist())
+    ze, zc = zero_poly_via_multiplication(fs, missing, n)
+    # spot-check: evals vanish exactly on the missing set
+    ev = [int(v) for v in fr.to_int(ze)]
+    mset = set(missing)
+    for i in range(n):
+        assert (ev[i] == 0) == (i in mset)
+    # coefficient form is monic of degree m
+    co = [int(v) for v in fr.to_int(zc)]
+    assert co[m] == 1
+    assert all(c == 0 for c in co[m + 1:])
+
+
+@pytest.mark.heavy
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_recover_scale10(seed):
+    """Reference scale: recovery at scale 10 with half missing
+    (recover_from_samples_test.go:94-136)."""
+    scale = 10
+    fs = FFTSettings(scale + 1)
+    n = 1 << scale
+    rng = np.random.default_rng(seed)
+    coeffs_int = [int(rng.integers(0, 2**62)) % MOD
+                  for _ in range(n // 2)] + [0] * (n // 2)
+    evals = oracle.fft(coeffs_int)
+    missing = sorted(rng.choice(n, size=n // 2, replace=False).tolist())
+    samples = list(evals)
+    for i in missing:
+        samples[i] = 0
+    rec = recover_poly_from_samples(
         fs, jnp.asarray(fr.from_int(samples)), missing)
     assert [int(v) for v in fr.to_int(rec)] == evals
 
