@@ -26,14 +26,20 @@ def main():
 
     enable_compilation_cache()
 
+    from kzg_tpu.field.constants import FR_MODULUS
+
     n = 1 << SCALE
     fs = FFTSettings(SCALE)
     rng = np.random.default_rng(0)
-    # random field elements, encoded on host via vectorized byte path
-    raw = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
-    raw[:, -1] &= 0x7FFF  # < 2^255 < r is not guaranteed; clear top bits
-    raw[:, -2] = 0
-    vals = jnp.asarray(raw)
+    # canonical (< r) random field elements through the real byte path
+    ints = [
+        (int(a) | (int(b) << 63) | (int(c) << 126) | (int(d) << 189)
+         | (int(e) << 252)) % FR_MODULUS
+        for a, b, c, d, e in rng.integers(0, 2**63, size=(n, 5))
+    ]
+    vals, valid = fr.from_bytes32_batch(
+        b"".join(v.to_bytes(32, "little") for v in ints))
+    assert bool(valid.all())
 
     out = fft(fs, vals)  # compile + warmup
     out.block_until_ready()

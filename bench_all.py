@@ -4,9 +4,17 @@ Go benchmarks (BENCH.md / BASELINE.md). Prints one JSON line per metric:
 vs_baseline compares against the reference's fastest backend on its
 5950X CPU (BASELINE.md); > 1 means this framework is faster.
 
+Methodology (round-2 fixes, VERDICT weak #6/#9):
+  * all inputs are CANONICAL field elements (< r), generated host-side
+    and entering through the real byte path — benches measure the
+    invariant-respecting pipeline;
+  * G1 rows rotate between 3 distinct pre-staged inputs and check that
+    the output digest changes per iteration, so a collapsed measurement
+    (constant-folded or cached result) is flagged instead of published.
+
 Usage: python bench_all.py [--quick] [--heavy]
   --quick: small scales only (CI smoke)
-  --heavy: adds the G1-FFT scale-12 and commit benchmarks
+  --heavy: adds the G1-FFT scale-12/15 and commit benchmarks
 """
 
 import argparse
@@ -25,10 +33,12 @@ BASELINES = {
 }
 
 
-def emit(metric, ns, baseline_ns=None):
+def emit(metric, ns, baseline_ns=None, note=None):
     rec = {"metric": metric, "value": round(ns), "unit": "ns/op"}
     if baseline_ns:
         rec["vs_baseline"] = round(baseline_ns / ns, 3)
+    if note:
+        rec["note"] = note
     print(json.dumps(rec), flush=True)
 
 
@@ -44,11 +54,23 @@ def timeit(fn, block, iters=5):
     return sorted(times)[len(times) // 2] * 1e9
 
 
-def rand_fr(n, rng):
-    raw = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
-    raw[:, -1] &= 0x7FFF
-    raw[:, -2] = 0
-    return raw
+def rand_fr_canonical(n, rng):
+    """Uniform canonical field elements through the real byte path."""
+    from kzg_tpu.field import fr
+    from kzg_tpu.field.constants import FR_MODULUS
+
+    vals = (
+        rng.integers(0, 2**63, size=(n, 5)).astype(object)
+    )
+    ints = [
+        int(v[0] + (v[1] << 63) + (v[2] << 126) + (v[3] << 189)
+            + (v[4] << 252)) % FR_MODULUS
+        for v in vals
+    ]
+    buf = b"".join(v.to_bytes(32, "little") for v in ints)
+    arr, valid = fr.from_bytes32_batch(buf)
+    assert bool(valid.all())
+    return arr
 
 
 def main():
@@ -75,7 +97,7 @@ def main():
     # ---- FFT over Fr ----
     for s in fr_scales:
         fs = FFTSettings(s)
-        vals = jnp.asarray(rand_fr(1 << s, rng))
+        vals = rand_fr_canonical(1 << s, rng)
         out = {}
         ns = timeit(lambda: out.update(o=fft(fs, vals)),
                     lambda: out["o"].block_until_ready())
@@ -84,7 +106,7 @@ def main():
     # ---- DAS extension ----
     for s in fr_scales:
         fs = FFTSettings(s + 1)
-        vals = jnp.asarray(rand_fr(1 << s, rng))
+        vals = rand_fr_canonical(1 << s, rng)
         out = {}
         ns = timeit(lambda: out.update(o=das_fft_extension(fs, vals)),
                     lambda: out["o"].block_until_ready())
@@ -107,7 +129,7 @@ def main():
     for s in fr_scales:
         fs = FFTSettings(s + 1)
         n = 1 << s
-        vals = jnp.asarray(rand_fr(n, rng))
+        vals = rand_fr_canonical(n, rng)
         missing = sorted(
             rng.choice(n, size=n // 2, replace=False).tolist())
         out = {}
@@ -117,35 +139,65 @@ def main():
             lambda: out["o"].block_until_ready())
         emit(f"recover_scale{s}", ns, BASELINES["recover"].get(s))
 
-    # ---- G1 FFT ----
+    # ---- G1 FFT (rotating fresh inputs + output digest guard) ----
     from kzg_tpu.curve import g1
     from kzg_tpu.curve.fft_g1 import fft_g1
 
-    g1_scales = [4] if args.quick else ([4, 8, 12] if args.heavy else [4, 8])
+    g1_scales = [4] if args.quick else (
+        [4, 8, 12, 15] if args.heavy else [4, 8])
     for s in g1_scales:
         fs = FFTSettings(s)
         n = 1 << s
-        sc = jnp.asarray(rand_fr(n, rng))
-        pts = g1.mul(g1.generator((n,)), sc)  # pseudo-random points
-        pts.x.block_until_ready()
-        out = {}
-        ns = timeit(lambda: out.update(o=fft_g1(fs, pts)),
-                    lambda: out["o"].x.block_until_ready())
-        emit(f"fft_g1_scale{s}", ns, BASELINES["fft_g1"].get(s))
+        inputs = []
+        for _ in range(3):
+            pts = g1.mul(g1.generator((n,)), rand_fr_canonical(n, rng))
+            pts.x.block_until_ready()
+            inputs.append(pts)
+        state = {"i": 0}
+        digests = []
+
+        def run():
+            p = inputs[state["i"] % 3]
+            state["i"] += 1
+            state["o"] = fft_g1(fs, p)
+
+        def block():
+            o = state["o"]
+            o.x.block_until_ready()
+            digests.append(int(np.asarray(jax.device_get(o.x)).sum()))
+
+        ns = timeit(run, block)
+        note = None
+        if len(set(digests[-3:])) < min(3, len(digests)):
+            note = "SUSPECT: identical output digests across fresh inputs"
+        emit(f"fft_g1_scale{s}", ns, BASELINES["fft_g1"].get(s), note)
 
     # ---- commit (MSM) ----
     if args.heavy:
         from kzg_tpu.curve.msm import lin_comb_g1
-        from kzg_tpu.curve.weierstrass import JacobianPoint
 
         n = 1 << 12
-        sc = jnp.asarray(rand_fr(n, rng))
-        base = g1.mul(g1.generator((n,)), jnp.asarray(rand_fr(n, rng)))
+        base = g1.mul(g1.generator((n,)), rand_fr_canonical(n, rng))
         base.x.block_until_ready()
-        out = {}
-        ns = timeit(lambda: out.update(o=lin_comb_g1(base, sc)),
-                    lambda: out["o"].x.block_until_ready())
-        emit("commit_msm_scale12", ns)  # no published baseline row
+        scs = [rand_fr_canonical(n, rng) for _ in range(3)]
+        state = {"i": 0}
+        digests = []
+
+        def runm():
+            sc = scs[state["i"] % 3]
+            state["i"] += 1
+            state["o"] = lin_comb_g1(base, sc)
+
+        def blockm():
+            o = state["o"]
+            o.x.block_until_ready()
+            digests.append(int(np.asarray(jax.device_get(o.x)).sum()))
+
+        ns = timeit(runm, blockm)
+        note = None
+        if len(set(digests[-3:])) < min(3, len(digests)):
+            note = "SUSPECT: identical output digests across fresh inputs"
+        emit("commit_msm_scale12", ns, None, note)  # no BENCH.md row
 
 
 if __name__ == "__main__":

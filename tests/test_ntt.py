@@ -139,6 +139,24 @@ def test_das_extension_zero_top_coeffs(scale, seed):
     assert any(c != 0 for c in coeffs[:half])
 
 
+@pytest.mark.heavy
+@pytest.mark.parametrize("seed", [1, 2])
+def test_das_extension_zero_top_coeffs_scale9(seed):
+    """Reference's top sweep tier: extension at scale 9
+    (das_extension_test.go:42-86 goes to scale 9)."""
+    rng = np.random.default_rng(seed)
+    fs = FFTSettings(9)
+    half = fs.max_width // 2
+    evens = [int(rng.integers(0, 1 << 62)) for _ in range(half)]
+    combined = np.asarray(
+        fr.to_int(das_extend_interleaved(fs, fr.from_int(evens)))
+    )
+    assert list(combined[0::2]) == evens
+    coeffs = oracle.fft(list(combined), inverse=True)
+    assert all(c == 0 for c in coeffs[half:]), "top half must be zero"
+    assert any(c != 0 for c in coeffs[:half])
+
+
 def test_reverse_bits_limited():
     # reference semantics: reverseBitsLimited(length, value)
     assert reverse_bits_limited(16, 1) == 8
