@@ -62,6 +62,15 @@ def inv(a):
     return jnp.stack([fp.mul(a0, ninv), fp.neg(fp.mul(a1, ninv))], axis=-2)
 
 
+def batch_inv(a):
+    """Norm-based inverse with the base-field Montgomery-trick batch
+    inversion doing the single Fp division per element."""
+    a0, a1 = c0(a), c1(a)
+    norm = fp.add(fp.sqr(a0), fp.sqr(a1))
+    ninv = fp.batch_inv(norm)
+    return jnp.stack([fp.mul(a0, ninv), fp.neg(fp.mul(a1, ninv))], axis=-2)
+
+
 def eq(a, b):
     return jnp.logical_and(fp.eq(c0(a), c0(b)), fp.eq(c1(a), c1(b)))
 

@@ -14,7 +14,8 @@ The coset shift by a small factor k moves the evaluation points off the
 domain so the division is well-defined; the reference uses k=5 and a
 random k with retries in the legacy path. Unlike the reference's
 per-element InvModFr loop (recover_from_samples.go:88-91), the pointwise
-division batches one Fermat-ladder inverse over the whole array.
+division uses one Montgomery-trick batch inversion (log-depth scans +
+a single Fermat ladder).
 
 Sample availability is host knowledge: `missing` masks/indices are host
 data, everything else runs on device.
@@ -33,7 +34,7 @@ from ..field import fr
 from ..field.constants import FR_MODULUS
 from ..ntt.domain import FFTSettings
 from ..ntt.fft_fr import _fft_core, fft
-from .zero_poly import zero_poly_via_multiplication
+from .zero_poly import zero_poly_graph, zero_poly_via_multiplication
 
 SHIFT_FACTOR = 5  # reference: recover_from_samples.go:9 (shiftFactor)
 
@@ -52,7 +53,10 @@ def _recover_core(samples, missing_mask, zero_eval, zero_coeffs,
     eval_pz = _fft_core(fr.mul(pz, scale), roots, None, max_width=max_width)
     eval_z = _fft_core(fr.mul(zero_coeffs, scale), roots, None,
                        max_width=max_width)
-    eval_p = fr.mul(eval_pz, fr.inv(eval_z))  # batched inverse
+    # eval_z is provably nonzero: a zero would need shift*w^i to be a
+    # root of Z, i.e. the shift factor inside the domain subgroup, which
+    # recover_poly_from_samples rejects up front.
+    eval_p = fr.mul(eval_pz, fr.batch_inv(eval_z))
     shifted_p = _fft_core(eval_p, rev_roots, inv_n, max_width=max_width)
     p_coeffs = fr.mul(shifted_p, scale_inv)
     recovered = _fft_core(p_coeffs, roots, None, max_width=max_width)
@@ -72,6 +76,29 @@ def unshift_poly(coeffs, factor: int = SHIFT_FACTOR):
     recover_from_samples.go:24-40)."""
     inv = pow(factor, -1, FR_MODULUS)
     return shift_poly(coeffs, inv)
+
+
+@functools.lru_cache(maxsize=None)
+def _recover_fused_fn(G: int, n: int, max_width: int):
+    """Zero-poly construction + recovery pipeline + self-check fused into
+    ONE compiled dispatch per (leaf count, width). Per-dispatch latency
+    to the device can reach tens of ms in this environment, so the
+    three-dispatch structure (zero-poly jit, recover jit, check jit)
+    dominated wall clock; fusing makes recovery one round-trip."""
+
+    @jax.jit
+    def run(root_idx, valid, samples, missing_mask, shift_mont,
+            shift_inv_mont, roots, rev_roots, invs, inv_n):
+        zero_eval, zero_coeffs = zero_poly_graph(
+            root_idx, valid, roots, rev_roots, invs, n, max_width)
+        recovered, _ = _recover_core(
+            samples, missing_mask, zero_eval, zero_coeffs, shift_mont,
+            shift_inv_mont, roots, rev_roots, inv_n, max_width=max_width)
+        # reference self-check (recover_from_samples.go:103-107)
+        ok = jnp.all(fr.eq(recovered, samples) | missing_mask)
+        return recovered, ok
+
+    return run
 
 
 def _recover_with_shift(fs: FFTSettings, samples, missing_idx, n: int,
@@ -103,18 +130,34 @@ def recover_poly_from_samples(fs: FFTSettings, samples, missing_indices):
     redundant (a DAS-extended polynomial has deg < n/2, tolerating up to
     n/2 missing). Otherwise (p*Z) aliases under the length-n IFFT.
     """
+    from .zero_poly import leaf_layout
+
     n = samples.shape[0]
-    if len(missing_indices) > n // 2:
+    missing = np.asarray(sorted(int(i) for i in missing_indices),
+                         dtype=np.int64)
+    if missing.shape[0] > n // 2:
         raise ValueError("cannot recover from more than n/2 missing samples")
     if pow(SHIFT_FACTOR, n, FR_MODULUS) == 1:
         raise ValueError("shift factor lies in the evaluation domain")
-    recovered, _ = _recover_with_shift(
-        fs, samples, list(missing_indices), n, SHIFT_FACTOR
+    if missing.shape[0] == 0:
+        return samples
+    if n & (n - 1) != 0:
+        raise ValueError("width must be a power of two")
+    if n > fs.max_width:
+        raise ValueError("width larger than domain")
+    stride = fs.max_width // n
+    idx, valid_np, invs, G = leaf_layout(fs, missing, n, stride)
+    mask = np.zeros(n, dtype=bool)
+    mask[missing] = True
+    run = _recover_fused_fn(G, n, fs.max_width)
+    recovered, ok = run(
+        idx, valid_np, samples, jnp.asarray(mask),
+        jnp.asarray(fr.from_int(SHIFT_FACTOR)),
+        jnp.asarray(fr.from_int(pow(SHIFT_FACTOR, -1, FR_MODULUS))),
+        fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
+        invs, fs.inv_length(n),
     )
-    mask = np.ones(n, dtype=bool)
-    mask[list(missing_indices)] = False
-    ok = bool(jnp.all(fr.eq(recovered, samples) | ~jnp.asarray(mask)))
-    if not ok:
+    if not bool(ok):
         raise ValueError("recovery self-check failed: inconsistent samples")
     return recovered
 

@@ -64,6 +64,31 @@ def _reduce_level(polys, roots, rev_roots, inv_t, max_width: int,
     return _fft_core(fr.mul(fa, fb), rev_roots, inv_t, max_width=max_width)
 
 
+def zero_poly_graph(root_idx, valid, roots, rev_roots, invs,
+                    length: int, max_width: int):
+    """Traceable leaf build + product tree + final forward FFT. Shared
+    by the standalone jit below and by pipelines that fuse the zero
+    polynomial into a larger single-dispatch program (das/recovery.py)."""
+    gathered = jnp.take(roots, root_idx.reshape(-1), axis=0).reshape(
+        root_idx.shape + (fr.N_LIMBS,))
+    neg_roots = fr.neg(gathered)
+    polys = _build_leaves(neg_roots, valid)
+    i = 0
+    while polys.shape[0] > 1:
+        target = min(2 * polys.shape[1], length)
+        polys = _reduce_level(polys, roots, rev_roots, invs[i],
+                              max_width=max_width, target=target)
+        i += 1
+    zpoly = polys[0]
+    if zpoly.shape[0] < length:
+        zpoly = jnp.pad(zpoly, [(0, length - zpoly.shape[0]), (0, 0)])
+    else:
+        # degree m < length: truncation only drops structural zeros
+        zpoly = zpoly[:length]
+    evals = _fft_core(zpoly, roots, None, max_width=max_width)
+    return evals, zpoly
+
+
 @functools.lru_cache(maxsize=None)
 def _zero_poly_fn(G: int, length: int, max_width: int):
     """Leaf build + whole product tree + final forward FFT as ONE
@@ -71,24 +96,8 @@ def _zero_poly_fn(G: int, length: int, max_width: int):
 
     @jax.jit
     def run(root_idx, valid, roots, rev_roots, invs):
-        gathered = jnp.take(roots, root_idx.reshape(-1), axis=0).reshape(
-            root_idx.shape + (fr.N_LIMBS,))
-        neg_roots = fr.neg(gathered)
-        polys = _build_leaves(neg_roots, valid)
-        i = 0
-        while polys.shape[0] > 1:
-            target = min(2 * polys.shape[1], length)
-            polys = _reduce_level(polys, roots, rev_roots, invs[i],
-                                  max_width=max_width, target=target)
-            i += 1
-        zpoly = polys[0]
-        if zpoly.shape[0] < length:
-            zpoly = jnp.pad(zpoly, [(0, length - zpoly.shape[0]), (0, 0)])
-        else:
-            # degree m < length: truncation only drops structural zeros
-            zpoly = zpoly[:length]
-        evals = _fft_core(zpoly, roots, None, max_width=max_width)
-        return evals, zpoly
+        return zero_poly_graph(root_idx, valid, roots, rev_roots, invs,
+                               length, max_width)
 
     return run
 
@@ -122,8 +131,21 @@ def zero_poly_via_multiplication(fs: FFTSettings, missing_indices, length: int):
 
         return fft(fs, coeffs), coeffs
 
-    # group factors into leaves of LEAF_FACTORS, pad the leaf count to a
-    # power of two (identity leaves via the validity mask)
+    idx, valid_np, invs, G = leaf_layout(fs, missing, length, stride)
+    run = _zero_poly_fn(G, length, fs.max_width)
+    return run(
+        idx, valid_np,
+        fs.expanded_roots_of_unity, fs.reverse_roots_of_unity, invs,
+    )
+
+
+def leaf_layout(fs: FFTSettings, missing: np.ndarray, length: int,
+                stride: int):
+    """Host-side leaf packing: group missing-root factors into leaves of
+    LEAF_FACTORS, pad the leaf count to a power of two (identity leaves
+    via the validity mask), and collect the per-level 1/target constants.
+    Returns (idx (G, S) int32, valid (G, S) bool, invs tuple, G)."""
+    m = missing.shape[0]
     G = 1 << (max((m + LEAF_FACTORS - 1) // LEAF_FACTORS, 1) - 1).bit_length()
     S = LEAF_FACTORS
     idx = np.zeros((G, S), dtype=np.int32)
@@ -133,16 +155,10 @@ def zero_poly_via_multiplication(fs: FFTSettings, missing_indices, length: int):
     idx[flat_leaf, flat_pos] = (missing * stride).astype(np.int32)
     valid_np[flat_leaf, flat_pos] = True
 
-    # per-level 1/target constants (host side)
     invs, width, cnt = [], LEAF_WIDTH, G
     while cnt > 1:
         target = min(2 * width, length)
         invs.append(fs.inv_length(target))
         width = target
         cnt //= 2
-
-    run = _zero_poly_fn(G, length, fs.max_width)
-    return run(
-        idx, valid_np,
-        fs.expanded_roots_of_unity, fs.reverse_roots_of_unity, tuple(invs),
-    )
+    return idx, valid_np, tuple(invs), G

@@ -78,7 +78,10 @@ class EthSettings:
         def _quotient_commit(p, z, y):
             num = _fr.sub(p, jnp.broadcast_to(y, p.shape))
             den = _fr.sub(self.domain, jnp.broadcast_to(z, self.domain.shape))
-            return lin_comb_g1(self.lagrange_brp, _fr.mul(num, _fr.inv(den)))
+            # batch_inv keeps inv(0) == 0, so a challenge z that lands
+            # exactly on a domain point still zeroes that lane
+            return lin_comb_g1(
+                self.lagrange_brp, _fr.mul(num, _fr.batch_inv(den)))
 
         self._jit_quotient_commit = jax.jit(_quotient_commit)
         self._jit_poly_lin_comb = jax.jit(polyops.poly_lin_comb)

@@ -45,6 +45,11 @@ def inv(a):
     return limbs.inv(SPEC, a)
 
 
+def batch_inv(a):
+    """Montgomery-trick batch inversion (see limbs.batch_inv)."""
+    return limbs.batch_inv(SPEC, a)
+
+
 def pow_static(a, e: int):
     return limbs.pow_static(SPEC, a, e)
 
@@ -98,8 +103,10 @@ def to_int_batch(arr):
     (vectorized decode)."""
     import jax
 
-    canon = np.asarray(
-        jax.device_get(limbs.from_mont(SPEC, arr)), dtype=np.uint32
-    ).reshape(-1, N_LIMBS).astype("<u2")
+    canon = np.ascontiguousarray(
+        np.asarray(
+            jax.device_get(limbs.from_mont(SPEC, arr)), dtype=np.uint32
+        ).reshape(-1, N_LIMBS).astype("<u2")
+    )
     rows = canon.view(np.uint8).reshape(-1, 2 * N_LIMBS)
     return [int.from_bytes(r.tobytes(), "little") for r in rows]

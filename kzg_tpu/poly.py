@@ -98,16 +98,16 @@ def eval_poly_in_evaluation_form(evals, domain, x, width_inv):
             evaluation is returned, matching the reference's special case)
     width_inv: uint32[L] Montgomery limbs of 1/n
 
-    (reference: EvaluatePolyInEvaluationForm, bls/globals.go:106-153, which
-    batch-inverts the denominators; here the Fermat inverse is batched
-    across all n denominators in one fused ladder.)
+    (reference: EvaluatePolyInEvaluationForm, bls/globals.go:106-153;
+    the denominators are batch-inverted with the same Montgomery trick
+    as its BatchInvModFr.)
     """
     n = evals.shape[0]
     diff = fr.sub(jnp.broadcast_to(x, domain.shape), domain)  # x - w_i
     on_domain = fr.is_zero(diff)  # (n,)
     # avoid 0^-1: substitute 1 in masked lanes (result discarded)
     safe = fr.select(on_domain, jnp.asarray(fr.from_int(1)), diff)
-    inv_diff = fr.inv(safe)
+    inv_diff = fr.batch_inv(safe)
     terms = fr.mul(fr.mul(evals, domain), inv_diff)
     s = sum_fr(terms, axis=0)
     xn = fr.pow_static(x, n)

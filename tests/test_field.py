@@ -58,6 +58,26 @@ def test_inv(field, mod):
         assert g * x % mod == 1
 
 
+@pytest.mark.parametrize("field,mod", [(fr, constants.FR_MODULUS), (fp, constants.FP_MODULUS)])
+def test_batch_inv(field, mod):
+    """Montgomery-trick batch inversion == Fermat inverse, with 0 -> 0
+    (reference: BatchInvModFr, bls/globals.go:117-124)."""
+    a = rand_ints(15, mod - 1)
+    a = [x + 1 for x in a] + [0]  # include a zero lane
+    arr = field.from_int(a)
+    got = field.to_int(field.batch_inv(arr))
+    for x, g in zip(a, got):
+        assert g * x % mod == (1 if x else 0)
+        assert (x != 0) or (g == 0)
+    # leading batch dims flatten correctly
+    import jax.numpy as jnp
+
+    got2 = field.to_int(field.batch_inv(jnp.asarray(arr).reshape(4, 4, -1)))
+    assert [int(v) for v in np.asarray(got2, dtype=object).reshape(-1)] == [
+        int(v) for v in got
+    ]
+
+
 def test_div_is_modular():
     # parity with TestDivModFr (bls/bignum_test.go:73-89): division is field
     # division, not integer division
