@@ -42,16 +42,26 @@ def emit(metric, ns, baseline_ns=None, note=None):
     print(json.dumps(rec), flush=True)
 
 
-def timeit(fn, block, iters=5):
+def timeit(fn, block, iters=5, windows=3):
+    """Pipelined-throughput timing: `iters` dispatches enqueued
+    back-to-back per window, one device sync at the window end, best
+    window reported. Per-dispatch transport latency in this environment
+    swings 0.1-60 ms between sessions (it is NOT device time), so
+    per-call sync timing would measure the tunnel, not the kernel; the
+    reference's ns/op is a tight b.N loop, which pipelining mirrors.
+    Functions that sync internally (e.g. recovery's self-check fetch)
+    degrade gracefully to sequential timing — their number honestly
+    includes that sync, like the reference's host-side checks do."""
     fn()  # compile + warmup
     block()
-    times = []
-    for _ in range(iters):
+    best = float("inf")
+    for _ in range(windows):
         t0 = time.perf_counter()
-        fn()
+        for _ in range(iters):
+            fn()
         block()
-        times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2] * 1e9
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1e9
 
 
 def rand_fr_canonical(n, rng):
@@ -82,7 +92,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from kzg_tpu.das.recovery import _recover_with_shift
+    from kzg_tpu.das.recovery import recover_poly_from_samples
     from kzg_tpu.das.zero_poly import zero_poly_via_multiplication
     from kzg_tpu.field import fr
     from kzg_tpu.ntt import FFTSettings, fft
@@ -125,18 +135,23 @@ def main():
             lambda: out["o"].block_until_ready())
         emit(f"zero_poly_scale{s}", ns, BASELINES["zero_poly"].get(s))
 
-    # ---- recovery (half missing) ----
+    # ---- recovery (half missing, the public fused single-dispatch API;
+    # its self-check fetch syncs per call, honestly included) ----
     for s in fr_scales:
         fs = FFTSettings(s + 1)
         n = 1 << s
-        vals = rand_fr_canonical(n, rng)
+        half = rand_fr_canonical(n // 2, rng)
+        coeffs = jnp.concatenate(
+            [half, jnp.zeros_like(half)], axis=0)  # deg < n/2: recoverable
+        evals = fft(fs, coeffs)
         missing = sorted(
             rng.choice(n, size=n // 2, replace=False).tolist())
         out = {}
         ns = timeit(
-            lambda: out.update(o=_recover_with_shift(
-                fs, vals, missing, n, 5)[0]),
+            lambda: out.update(o=recover_poly_from_samples(
+                fs, evals, missing)),
             lambda: out["o"].block_until_ready())
+        assert bool(jnp.all(fr.eq(out["o"], evals))), "recovery mismatch"
         emit(f"recover_scale{s}", ns, BASELINES["recover"].get(s))
 
     # ---- G1 FFT (rotating fresh inputs + output digest guard) ----

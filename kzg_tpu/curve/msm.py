@@ -36,10 +36,24 @@ from . import g1
 N_WINDOWS = 64
 
 
+FOLD_BELOW = 16  # tree width below which the reduction scan-folds
+
+
 def tree_reduce(ops, points: JacobianPoint) -> JacobianPoint:
-    """Sum a (N, ...) batch of points along axis 0 with log2(N) adds."""
+    """Sum a (N, ...) batch of points along axis 0.
+
+    Halving levels (one batched add per level) carry ~97% of the work in
+    the first few levels, so they are unrolled only while the width
+    exceeds FOLD_BELOW; the narrow tail is a lax.scan fold whose add
+    traces ONCE. This keeps the compiled module small — point adds are
+    enormous HLO graphs (~16 Fp muls of static-carry limb arithmetic
+    each), and unrolling all log2(N) levels made cold XLA compiles of
+    MSM programs take minutes (the round-1 multichip-dryrun timeout).
+    The tail fold adds < FOLD_BELOW sequential loop steps of negligible
+    width: same total adds as the full tree, tiny extra depth.
+    """
     n = points.x.shape[0]
-    while n > 1:
+    while n > FOLD_BELOW:
         if n % 2 == 1:
             pad = ops.infinity_like(
                 JacobianPoint(points.x[:1], points.y[:1], points.z[:1])
@@ -53,23 +67,34 @@ def tree_reduce(ops, points: JacobianPoint) -> JacobianPoint:
             JacobianPoint(points.x[1::2], points.y[1::2], points.z[1::2]),
         )
         n //= 2
-    return JacobianPoint(points.x[0], points.y[0], points.z[0])
+    if n == 1:
+        return JacobianPoint(points.x[0], points.y[0], points.z[0])
+    first = JacobianPoint(points.x[0], points.y[0], points.z[0])
+
+    def body(acc, row):
+        return ops.add(acc, JacobianPoint(*row)), None
+
+    acc, _ = lax.scan(
+        body, first, (points.x[1:], points.y[1:], points.z[1:]))
+    return acc
 
 
 def _multiples_table(ops: CurveOps, p: JacobianPoint) -> JacobianPoint:
-    """[0..8]*P stacked on a new leading axis: coords (9, N..., elem)."""
+    """[0..8]*P stacked on a new leading axis: coords (9, N..., elem).
+
+    Built as a scan of k*P + P so the (complete) add traces once —
+    compile-light for the same reason as tree_reduce's tail; the first
+    step's P+P falls through add's doubling select."""
     inf = ops.infinity_like(p)
-    t2 = ops.double(p)
-    t3 = ops.add(t2, p)
-    t4 = ops.double(t2)
-    t5 = ops.add(t4, p)
-    t6 = ops.double(t3)
-    t7 = ops.add(t6, p)
-    t8 = ops.double(t4)
-    entries = [inf, p, t2, t3, t4, t5, t6, t7, t8]
+
+    def body(acc, _):
+        nxt = ops.add(acc, p)
+        return nxt, nxt
+
+    _, mults = lax.scan(body, p, None, length=7)  # (7, N..., elem) = 2P..8P
     return JacobianPoint(
-        *(jnp.stack([getattr(e, c) for e in entries], axis=0)
-          for c in ("x", "y", "z"))
+        *(jnp.concatenate([i[None], b[None], m], axis=0)
+          for i, b, m in zip(inf, p, mults))
     )
 
 

@@ -5,16 +5,21 @@ built on the shared-table windowed MSM (curve/msm.py): each shard
 computes the 64 per-window partial sums over its slice of the points
 (batched adds only — no scalar-mul loops inside shard_map, which keeps
 the SPMD program small and fast to compile), the D x 64 partials are
-all-gathered, combined with a log2(D) Jacobian-add tree (point addition
-is a group op, not an arithmetic sum, so the combine is an explicit add
-tree rather than a psum), and one replicated 63-step Horner pass folds
-the window axis.
+all-gathered, combined with a Jacobian-add tree (point addition is a
+group op, not an arithmetic sum, so the combine is an explicit add tree
+rather than a psum), and one replicated 63-step Horner pass folds the
+window axis.
+
+The shard_map program runs under ONE jit per (mesh, point count):
+un-jitted shard_map executes eagerly, one tiny dispatch + compile per
+primitive per device (the round-2 dryrun compile storm).
 """
 
 from __future__ import annotations
 
 import functools
 
+import jax
 from jax import lax
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
@@ -24,17 +29,8 @@ from ..curve.msm import horner_windows, tree_reduce, window_sums
 from ..curve.weierstrass import JacobianPoint
 
 
-def lin_comb_g1_sharded(points: JacobianPoint, scalars_mont, mesh: Mesh,
-                        axis: str = "elem") -> JacobianPoint:
-    """MSM with points (N,) and scalars (N,) sharded over `axis`.
-
-    Returns the (replicated) single result point.
-    """
-    D = mesh.shape[axis]
-    n = points.x.shape[0]
-    if n % D != 0:
-        raise ValueError("point count must divide the mesh axis")
-
+@functools.lru_cache(maxsize=None)
+def _msm_sharded_fn(mesh: Mesh, axis: str):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None),
@@ -51,5 +47,19 @@ def lin_comb_g1_sharded(points: JacobianPoint, scalars_mont, mesh: Mesh,
         res = horner_windows(g1.ops, total)
         return res.x[None], res.y[None], res.z[None]
 
+    return jax.jit(run)
+
+
+def lin_comb_g1_sharded(points: JacobianPoint, scalars_mont, mesh: Mesh,
+                        axis: str = "elem") -> JacobianPoint:
+    """MSM with points (N,) and scalars (N,) sharded over `axis`.
+
+    Returns the (replicated) single result point.
+    """
+    D = mesh.shape[axis]
+    n = points.x.shape[0]
+    if n % D != 0:
+        raise ValueError("point count must divide the mesh axis")
+    run = _msm_sharded_fn(mesh, axis)
     x, y, z = run(points.x, points.y, points.z, scalars_mont)
     return JacobianPoint(x[0], y[0], z[0])
