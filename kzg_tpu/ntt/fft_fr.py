@@ -37,10 +37,20 @@ def take_strided(roots, count: int, stride: int):
 @functools.partial(jax.jit, static_argnames=("max_width",))
 def _fft_core(vals, roots, inv_n, max_width: int):
     """vals: uint32[..., n, 16] (n static from shape). roots: forward or
-    reverse table. inv_n: None (forward) or Montgomery limbs of 1/n."""
+    reverse table. inv_n: None (forward) or Montgomery limbs of 1/n.
+
+    With the "pallas" field backend each stage runs as one fused
+    butterfly kernel (t = b*tw; a+t; a-t with all REDC intermediates
+    VMEM-resident — field/pallas_kernels.py); the XLA layer only slices
+    and re-concatenates the halves. The vector path composes fr.mul/
+    add/sub as plain XLA ops.
+    """
+    from ..field.backend import field_backend
+
     n = vals.shape[-2]
     if n == 1:
         return vals if inv_n is None else fr.mul(vals, inv_n)
+    use_pallas = field_backend() == "pallas"
     x = brp_permute(vals, axis=-2)
     logn = n.bit_length() - 1
     batch = vals.shape[:-2]
@@ -52,8 +62,14 @@ def _fft_core(vals, roots, inv_n, max_width: int):
         x = x.reshape(batch + (n // m, m, fr.N_LIMBS))
         a = x[..., :half, :]
         b = x[..., half:, :]
-        t = fr.mul(b, tw)
-        x = jnp.concatenate([fr.add(a, t), fr.sub(a, t)], axis=-2)
+        if use_pallas:
+            from ..field.pallas_kernels import butterfly_pallas
+
+            hi, lo = butterfly_pallas(fr.SPEC, a, b, tw)
+        else:
+            t = fr.mul(b, tw)
+            hi, lo = fr.add(a, t), fr.sub(a, t)
+        x = jnp.concatenate([hi, lo], axis=-2)
     x = x.reshape(batch + (n, fr.N_LIMBS))
     if inv_n is not None:
         x = fr.mul(x, inv_n)
