@@ -313,17 +313,15 @@ def mont_mul(spec: FieldSpec, a, b):
     from .backend import field_backend
 
     if field_backend() == "pallas":
-        # fused VMEM-resident kernel, ~21x the vector path on TPU
-        # (off-TPU it runs in the Pallas interpreter for testing).
-        # Tiny batches stay on the vector path: below one lane tile the
-        # kernel-boundary relayout dominates and XLA fuses better.
-        import math
+        # fused VMEM-resident kernel, ~21x the vector path on TPU at
+        # throughput sizes (off-TPU it runs in the Pallas interpreter
+        # for testing). Even for sub-tile batches one kernel launch
+        # beats the vector path's ~30-op XLA chain, so everything
+        # routes here; deep sequential chains of tiny muls (scalar-mul
+        # ladders at small point counts) gain the most.
+        from .pallas_kernels import mont_mul_pallas
 
-        from .pallas_kernels import LANES, mont_mul_pallas
-
-        n = math.prod(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]))
-        if n >= LANES:
-            return mont_mul_pallas(spec, a, b)
+        return mont_mul_pallas(spec, a, b)
     a, b = _bcast(a, b)
     L = spec.n_limbs
     mod = jnp.asarray(spec.mod_limbs, dtype=U32)

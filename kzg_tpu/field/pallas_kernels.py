@@ -151,14 +151,21 @@ def mod_sub_tile(mod, a, b):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _const_tiles(spec: FieldSpec):
-    """(mod, nprime) as (L, LANES) device tiles (kernel operands)."""
+def _const_tiles_np(spec: FieldSpec):
+    """(mod, nprime) as host (L, LANES) tiles. Host-side cache only —
+    caching device arrays here would capture tracers when first called
+    inside a jit trace (lru_cache + jnp.asarray is a tracer leak)."""
     mod = np.broadcast_to(
         spec.mod_limbs.astype(np.uint32)[:, None],
         (spec.n_limbs, LANES)).copy()
     npr = np.broadcast_to(
         spec.nprime_limbs.astype(np.uint32)[:, None],
         (spec.n_limbs, LANES)).copy()
+    return mod, npr
+
+
+def _const_tiles(spec: FieldSpec):
+    mod, npr = _const_tiles_np(spec)
     return jnp.asarray(mod), jnp.asarray(npr)
 
 
