@@ -93,7 +93,8 @@ def main():
             return _fft_core(v, fs.expanded_roots_of_unity, None,
                              max_width=fs.max_width)
 
-        sec, _ = device_loop(fwd, (vals,), k=16, chain=True)
+        sec, _ = device_loop(fwd, (vals,), k=64 if s <= 8 else 16,
+                             chain=True)
         emit(f"fft_fr_scale{s}", sec * 1e9, BASELINES["fft_fr"].get(s))
 
     # ---- DAS extension (chained: n -> n) ----
@@ -107,7 +108,8 @@ def main():
                 fs.inv_length(1 << s), max_width=fs.max_width,
                 interleave=False)
 
-        sec, _ = device_loop(ext, (vals,), k=16, chain=True)
+        sec, _ = device_loop(ext, (vals,), k=64 if s <= 8 else 16,
+                             chain=True)
         emit(f"das_extension_scale{s}", sec * 1e9,
              BASELINES["das_extension"].get(s))
 

@@ -95,5 +95,8 @@ def device_loop(fn, args, k: int = 16, chain: bool = False,
         out = run(args)
         sync(out)
         best = min(best, time.perf_counter() - t0)
-    per_op = max(best - rtt, 0.0) / (k + 1)
+    # Floor at 1ns: on a fast session a tiny program can measure below
+    # the empty-dispatch RTT (best - rtt <= 0); such a row is
+    # latency-floored, not actually free.
+    per_op = max(best - rtt, 1e-9) / (k + 1)
     return per_op, out
