@@ -54,16 +54,20 @@ def main():
         return _fft_core(v, fs.expanded_roots_of_unity, None,
                          max_width=fs.max_width)
 
-    sec, out = device_loop(fwd, (vals,), k=16, chain=True)
+    sec, out, floored = device_loop(fwd, (vals,), k=16, chain=True)
     # verify the chained computation actually happened: the 17-fold FFT
     # of the input must match the host oracle on a spot value
     ns = sec * 1e9
-    print(json.dumps({
+    rec = {
         "metric": f"fft_fr_scale{SCALE}",
         "value": round(ns),
         "unit": "ns/op",
         "vs_baseline": round(BASELINE_NS / ns, 3),
-    }))
+    }
+    if floored:
+        rec["note"] = "latency-floored"
+        del rec["vs_baseline"]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -70,7 +70,10 @@ def device_loop(fn, args, k: int = 16, chain: bool = False,
     fn: traceable; args: tuple of device arrays / pytrees. chain=True
     requires fn's output to match args[0] in structure (the output feeds
     the next iteration's first argument). Returns
-    (seconds_per_op, last_output).
+    (seconds_per_op, last_output, floored): floored=True means the whole
+    (k+1)-iteration window measured at or below the empty-dispatch RTT,
+    so seconds_per_op is a 1 ns/op FLOOR, not a measurement — callers
+    must flag such rows instead of deriving speedups from them.
     """
 
     @jax.jit
@@ -95,8 +98,10 @@ def device_loop(fn, args, k: int = 16, chain: bool = False,
         out = run(args)
         sync(out)
         best = min(best, time.perf_counter() - t0)
-    # Floor at 1ns: on a fast session a tiny program can measure below
-    # the empty-dispatch RTT (best - rtt <= 0); such a row is
-    # latency-floored, not actually free.
-    per_op = max(best - rtt, 1e-9) / (k + 1)
-    return per_op, out
+    # Floor PER-OP at 1ns: on a fast session a tiny program can measure
+    # below the empty-dispatch RTT (best - rtt <= 0); such a row is
+    # latency-floored, not actually free, and is flagged so callers
+    # don't publish a bogus speedup off it.
+    per_op = (best - rtt) / (k + 1)
+    floored = per_op <= 1e-9
+    return max(per_op, 1e-9), out, floored
