@@ -32,14 +32,23 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu"
 
 # Persistent compilation cache: the suite is compile-dominated (hundreds of
 # distinct static shapes); caching XLA executables across pytest runs cuts
 # repeat wall-clock by an order of magnitude. The cache dir is scoped per
 # machine fingerprint (XLA:CPU AOT entries are microarch-specific).
+#
+# MUST run before the first backend touch (the default_backend() assert
+# below): enable_compilation_cache pins --xla_cpu_max_isa=AVX2, and a
+# client created before the pin compiles AOT entries with
+# +prefer-no-scatter/-gather pseudo-features that the loader rejects
+# against raw host CPUID forever after — every suite run then both
+# poisons the cache and runs fully cold (round-4 regression of the
+# round-1 dryrun-timeout failure mode).
 sys.path.insert(0, os.path.dirname(__file__))
 
 from kzg_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+
+assert jax.default_backend() == "cpu"

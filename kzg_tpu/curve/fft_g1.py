@@ -2,8 +2,23 @@
 
 Identical butterfly structure to the Fr FFT, with point add/sub and
 scalar-mul-by-twiddle instead of field ops. The scalar multiplications
-dominate (each is a 255-step double-and-add over the whole batch); all
-stages are full-batch vector work.
+dominate; two engines implement the stage:
+
+  vector — the generic composed path (weierstrass ops over the XLA
+           field engine): works everywhere, used off-TPU
+  pallas — one fused kernel per stage (curve/pallas_g1.py): the whole
+           GLV two-ladder twiddle multiply plus the butterfly add/sub
+           runs VMEM-resident. Twiddles are STATIC domain constants, so
+           their GLV decomposition into signed 4-bit digit tables is
+           done once on the host (curve/glv.py) — the ladder is 33
+           windows instead of 64 (~45% fewer point doublings than the
+           dynamic-scalar path the reference is stuck with,
+           fft_g1.go:45-55).
+
+Selected by the runtime field-backend registry (field/backend.py), like
+every other hot op. The GLV path requires inputs in the r-torsion
+subgroup — true for every point the library produces or (post subgroup
+check) deserializes.
 """
 
 from __future__ import annotations
@@ -58,14 +73,95 @@ def _fft_g1_core(px, py, pz, roots, inv_n, max_width: int):
     return pts
 
 
+@functools.lru_cache(maxsize=None)
+def _stage_digits(max_scale: int, n: int, inverse: bool):
+    """Host-precomputed GLV digit tables for every stage of a width-n
+    (I)FFT on the 2^max_scale domain, plus the 1/n post-scale digits.
+
+    Returns (per_stage, inv_digits): per_stage[s-1] = (d1, d2) int32
+    arrays of shape (n/2, 33) covering the flattened (n/m groups x half)
+    butterfly lanes of stage s; inv_digits = (d1, d2) of shape (1, 33)
+    for the inverse-FFT scale, or None for the forward direction.
+    """
+    from . import glv
+
+    fs_roots = FFTSettings(max_scale).roots_of_unity_int()
+    max_width = 1 << max_scale
+    roots = (tuple(reversed(fs_roots)) if inverse else fs_roots)
+    logn = n.bit_length() - 1
+    per_stage = []
+    for s in range(1, logn + 1):
+        m = 1 << s
+        half = m >> 1
+        stride = max_width // m
+        tws = [roots[j * stride] for j in range(half)]
+        d1, d2 = glv.twiddle_digits(tws)
+        groups = n // m
+        per_stage.append((np.tile(d1, (groups, 1)), np.tile(d2, (groups, 1))))
+    inv_digits = None
+    if inverse:
+        inv_n = pow(n, -1, fr.SPEC.modulus)
+        inv_digits = glv.twiddle_digits([inv_n])
+    return tuple(per_stage), inv_digits
+
+
+@functools.partial(jax.jit, static_argnames=("max_scale", "n", "inverse"))
+def _fft_g1_pallas(px, py, pz, max_scale: int, n: int, inverse: bool):
+    from .pallas_g1 import butterfly_glv_pallas
+
+    per_stage, inv_digits = _stage_digits(max_scale, n, inverse)
+    pts = JacobianPoint(px, py, pz)
+    pts = JacobianPoint(*(brp_permute(c, axis=0) for c in pts))
+    logn = n.bit_length() - 1
+    for s in range(1, logn + 1):
+        m = 1 << s
+        half = m >> 1
+        resh = JacobianPoint(
+            *(c.reshape((n // m, m) + c.shape[1:]) for c in pts)
+        )
+        a = JacobianPoint(
+            *(c[:, :half].reshape((n // 2,) + c.shape[2:]) for c in resh))
+        b = JacobianPoint(
+            *(c[:, half:].reshape((n // 2,) + c.shape[2:]) for c in resh))
+        d1, d2 = per_stage[s - 1]
+        lo, hi = butterfly_glv_pallas(a, b, jnp.asarray(d1), jnp.asarray(d2))
+        pts = JacobianPoint(
+            *(
+                jnp.concatenate(
+                    [l.reshape((n // m, half) + l.shape[1:]),
+                     h.reshape((n // m, half) + h.shape[1:])],
+                    axis=1,
+                ).reshape((n,) + l.shape[1:])
+                for l, h in zip(lo, hi)
+            )
+        )
+    if inv_digits is not None:
+        # 1/n scale: run the same fused ladder with A = infinity so
+        # lo = O + (1/n)*P (the one-extra-butterfly trick; d2 half is
+        # the GLV complement of 1/n)
+        d1, d2 = inv_digits
+        inf = g1.infinity((n,))
+        lo, _ = butterfly_glv_pallas(
+            inf, pts,
+            jnp.asarray(np.tile(d1, (n, 1))), jnp.asarray(np.tile(d2, (n, 1))))
+        pts = lo
+    return pts
+
+
 def fft_g1(fs: FFTSettings, points: JacobianPoint, inverse: bool = False):
     """(I)FFT of a (n,) G1 point batch. n must be a power of two
     <= fs.max_width (the reference errors likewise, fft_g1.go:62-68)."""
+    from ..field.backend import field_backend
+
     n = points.x.shape[0]
     if n > fs.max_width:
         raise ValueError("got more values than roots of unity")
     if n & (n - 1) != 0:
         raise ValueError("got a non-power-of-two number of values")
+    if field_backend() == "pallas" and n > 1:
+        return _fft_g1_pallas(
+            points.x, points.y, points.z,
+            max_scale=fs.max_scale, n=n, inverse=inverse)
     roots = fs.reverse_roots_of_unity if inverse else fs.expanded_roots_of_unity
     inv_n = fs.inv_length(n) if inverse else None
     return _fft_g1_core(

@@ -38,18 +38,61 @@ def infinity(shape=()) -> JacobianPoint:
     )
 
 
-add = ops.add
-sub = ops.sub
-neg = ops.neg
-double = ops.double
 eq = ops.eq
 select = ops.select
 is_infinity = ops.is_infinity
 to_affine = ops.to_affine
 from_affine = ops.from_affine
-mul = ops.scalar_mul  # MulG1(point, Fr scalar)
 mul_small = ops.mul_small
 in_subgroup = ops.in_subgroup
+
+
+def _pallas() -> bool:
+    from ..field.backend import field_backend
+
+    return field_backend() == "pallas"
+
+
+def add(p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+    """AddG1: complete Jacobian add. Routes to the fused single-kernel
+    engine (curve/pallas_g1.py) under the pallas backend; the composed
+    vector path otherwise."""
+    if _pallas():
+        from .pallas_g1 import add_pallas
+
+        return add_pallas(p, q)
+    return ops.add(p, q)
+
+
+def sub(p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+    if _pallas():
+        from .pallas_g1 import add_pallas
+
+        return add_pallas(p, ops.neg(q))
+    return ops.sub(p, q)
+
+
+def double(p: JacobianPoint) -> JacobianPoint:
+    if _pallas():
+        from .pallas_g1 import double_pallas
+
+        return double_pallas(p)
+    return ops.double(p)
+
+
+neg = ops.neg
+
+
+def mul(p: JacobianPoint, scalars_mont) -> JacobianPoint:
+    """MulG1(point, Fr scalar), batched. Under the pallas backend the
+    whole signed-window ladder (table build + 64 windows) is ONE fused
+    kernel; otherwise the composed vector path (weierstrass.scalar_mul)."""
+    if _pallas():
+        from ..field import fr as _fr
+        from .pallas_g1 import scalar_mul_pallas
+
+        return scalar_mul_pallas(p, _fr.scalar_windows_signed(scalars_mont))
+    return ops.scalar_mul(p, scalars_mont)
 
 
 def from_affine_ints(coords) -> JacobianPoint:

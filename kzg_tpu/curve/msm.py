@@ -39,6 +39,18 @@ N_WINDOWS = 64
 FOLD_BELOW = 16  # tree width below which the reduction scan-folds
 
 
+def _g1_ops():
+    """The active G1 engine: fused Pallas kernels on TPU (one launch per
+    point op, curve/pallas_g1.py), the composed vector path elsewhere."""
+    from ..field.backend import field_backend
+
+    if field_backend() == "pallas":
+        from .pallas_g1 import ops_pallas
+
+        return ops_pallas
+    return g1.ops
+
+
 def tree_reduce(ops, points: JacobianPoint) -> JacobianPoint:
     """Sum a (N, ...) batch of points along axis 0.
 
@@ -161,9 +173,10 @@ def lin_comb_g1(points: JacobianPoint, scalars_mont) -> JacobianPoint:
     """MSM: sum_i scalars[i] * points[i]. points: (N,) G1 batch,
     scalars: (..., N) Fr Montgomery batch (leading dims = independent
     MSMs over the same points). Returns coords (..., elem)."""
-    return horner_windows(g1.ops, window_sums(g1.ops, points, scalars_mont))
+    ops = _g1_ops()
+    return horner_windows(ops, window_sums(ops, points, scalars_mont))
 
 
 @jax.jit
 def sum_g1(points: JacobianPoint) -> JacobianPoint:
-    return tree_reduce(g1.ops, points)
+    return tree_reduce(_g1_ops(), points)

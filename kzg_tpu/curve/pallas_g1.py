@@ -1,0 +1,514 @@
+"""Fused Pallas TPU kernels for G1 Jacobian arithmetic (round-4 engine).
+
+Why: the generic curve layer (weierstrass.py) composes point formulas from
+per-field-op calls, so every Fp multiply is its own kernel launch with a
+lane-relayout on each side and an HBM round-trip between — measured ~10x
+off the VPU bound, which left FFT-G1 BELOW the reference's CPU baseline.
+Here a whole point operation (or a whole windowed scalar multiplication)
+runs inside ONE kernel with every Fp intermediate VMEM-resident.
+
+Layout: a point tile is three (24, W) uint32 coordinate tiles (limbs on
+sublanes, batch on lanes), matching field/pallas_kernels.py. Wrappers
+accept the library's canonical (..., 24) layout and relayout once per
+call.
+
+Formulas: dbl-2009-l (a=0) with the symmetric-squaring fast path, and the
+complete add-2007-bl with masked selects for P==Q / P==-Q / infinity —
+the same branchless semantics as weierstrass.CurveOps (differentially
+tested against it), which itself mirrors the reference's kilic Jacobian
+backend (reference: bls/bls_kilic.go:29-112).
+
+Scalar multiplication is signed 4-bit fixed-window: an in-VMEM multiples
+table [1..8]P (built once per tile) and one fused kernel for the whole
+64-window ladder. The GLV variant (glv.py) halves the ladder for scalars
+known on the host (FFT twiddles): k = k1 + lambda*k2 with 33-digit
+halves, the second half applied through the cube-root endomorphism
+phi(x, y, z) = (beta*x, y, z).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field import fp
+from ..field.constants import FP_MODULUS
+from ..field.pallas_kernels import (
+    LANES,
+    _carry_fold,
+    _const_spec,
+    _interpret,
+    _product_cols,
+    mod_add_tile,
+    mod_sub_tile,
+    mont_mul_tile,
+    mont_sqr_tile,
+)
+from .weierstrass import JacobianPoint
+
+U32 = jnp.uint32
+L = fp.SPEC.n_limbs  # 24
+
+# GLV endomorphism constants (verified against the host EC oracle in
+# tests/test_pallas_g1.py): lambda is a primitive cube root of unity
+# mod r, beta the matching cube root of unity mod p with
+# (beta*x, y) == lambda * (x, y) for points in the r-torsion subgroup.
+GLV_LAMBDA = 0xAC45A4010001A40200000000FFFFFFFF
+GLV_BETA = int(
+    "0x1a0111ea397fe699ec02408663d4de85aa0d857d89759ad4897d29650fb85f9b"
+    "409427eb4f49fffd8bfd00000000aaac", 16,
+)
+
+DEFAULT_BLOCK = 256
+
+
+# ---------------------------------------------------------------------------
+# tile-level point math: a point is a tuple (x, y, z) of (24, W) tiles
+# ---------------------------------------------------------------------------
+
+def _is_zero_tile(x):
+    """bool[W]: all limbs zero along the sublane axis."""
+    return jnp.all(x == 0, axis=0)
+
+
+def _select_tile(mask, a, b):
+    """where(mask[W], a, b) per coordinate tuple."""
+    return tuple(jnp.where(mask[None, :], ca, cb) for ca, cb in zip(a, b))
+
+
+def point_double_tile(mod, npr, p):
+    """dbl-2009-l (a=0). Infinity -> infinity (Z3 = 2YZ = 0).
+    Matches weierstrass.CurveOps.double bit-exactly."""
+    x1, y1, z1 = p
+    a = mont_sqr_tile(mod, npr, x1)
+    b = mont_sqr_tile(mod, npr, y1)
+    c = mont_sqr_tile(mod, npr, b)
+    d = mod_sub_tile(mod, mont_sqr_tile(mod, npr, mod_add_tile(mod, x1, b)),
+                     mod_add_tile(mod, a, c))
+    d = mod_add_tile(mod, d, d)
+    e = mod_add_tile(mod, mod_add_tile(mod, a, a), a)
+    f = mont_sqr_tile(mod, npr, e)
+    x3 = mod_sub_tile(mod, f, mod_add_tile(mod, d, d))
+    c8 = mod_add_tile(mod, c, c)
+    c8 = mod_add_tile(mod, c8, c8)
+    c8 = mod_add_tile(mod, c8, c8)
+    y3 = mod_sub_tile(
+        mod, mont_mul_tile(mod, npr, e, mod_sub_tile(mod, d, x3)), c8)
+    yz = mont_mul_tile(mod, npr, y1, z1)
+    z3 = mod_add_tile(mod, yz, yz)
+    return x3, y3, z3
+
+
+def point_add_tile(mod, npr, p, q):
+    """Complete add via masked selects (add-2007-bl core), bit-exact with
+    weierstrass.CurveOps.add: handles P==Q, P==-Q, and infinities."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    z1z1 = mont_sqr_tile(mod, npr, z1)
+    z2z2 = mont_sqr_tile(mod, npr, z2)
+    u1 = mont_mul_tile(mod, npr, x1, z2z2)
+    u2 = mont_mul_tile(mod, npr, x2, z1z1)
+    s1 = mont_mul_tile(mod, npr, mont_mul_tile(mod, npr, y1, z2), z2z2)
+    s2 = mont_mul_tile(mod, npr, mont_mul_tile(mod, npr, y2, z1), z1z1)
+    h = mod_sub_tile(mod, u2, u1)
+    rr = mod_sub_tile(mod, s2, s1)
+
+    h2 = mod_add_tile(mod, h, h)
+    i = mont_sqr_tile(mod, npr, h2)
+    j = mont_mul_tile(mod, npr, h, i)
+    rr2 = mod_add_tile(mod, rr, rr)
+    v = mont_mul_tile(mod, npr, u1, i)
+    x3 = mod_sub_tile(mod, mont_sqr_tile(mod, npr, rr2),
+                      mod_add_tile(mod, j, mod_add_tile(mod, v, v)))
+    s1j = mont_mul_tile(mod, npr, s1, j)
+    y3 = mod_sub_tile(
+        mod, mont_mul_tile(mod, npr, rr2, mod_sub_tile(mod, v, x3)),
+        mod_add_tile(mod, s1j, s1j))
+    z3 = mont_mul_tile(
+        mod, npr,
+        mod_sub_tile(mod, mont_sqr_tile(mod, npr, mod_add_tile(mod, z1, z2)),
+                     mod_add_tile(mod, z1z1, z2z2)),
+        h)
+    generic = (x3, y3, z3)
+
+    same_x = _is_zero_tile(h)
+    same_y = _is_zero_tile(rr)
+    p_inf = _is_zero_tile(z1)
+    q_inf = _is_zero_tile(z2)
+
+    dbl = point_double_tile(mod, npr, p)
+    res = _select_tile(same_x & same_y & ~p_inf & ~q_inf, dbl, generic)
+    # Infinity is encoded as Z == 0; X/Y are don't-cares for every
+    # consumer (all-zero here, vs Montgomery ONE in weierstrass.py —
+    # kernels avoid capturing array constants, and projective equality /
+    # to_affine are representation-blind).
+    zero = jnp.zeros_like(z1)
+    inf = (zero, zero, zero)
+    res = _select_tile(same_x & ~same_y & ~p_inf & ~q_inf, inf, res)
+    res = _select_tile(q_inf, p, res)
+    res = _select_tile(p_inf, q, res)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _add_fn(B: int, block: int, interpret: bool):
+    def kernel(mod_ref, npr_ref, px, py, pz, qx, qy, qz, ox, oy, oz):
+        mod = mod_ref[:, :1]
+        npr = npr_ref[:, :1]
+        x3, y3, z3 = point_add_tile(
+            mod, npr, (px[:], py[:], pz[:]), (qx[:], qy[:], qz[:]))
+        ox[:], oy[:], oz[:] = x3, y3, z3
+
+    bspec = pl.BlockSpec((L, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        in_specs=[_const_spec(L)] * 2 + [bspec] * 6,
+        out_specs=(bspec,) * 3,
+        out_shape=tuple(jax.ShapeDtypeStruct((L, B), U32) for _ in range(3)),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _double_fn(B: int, block: int, interpret: bool):
+    def kernel(mod_ref, npr_ref, px, py, pz, ox, oy, oz):
+        mod = mod_ref[:, :1]
+        x3, y3, z3 = point_double_tile(
+            mod, npr_ref[:, :1], (px[:], py[:], pz[:]))
+        ox[:], oy[:], oz[:] = x3, y3, z3
+
+    bspec = pl.BlockSpec((L, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        in_specs=[_const_spec(L)] * 2 + [bspec] * 3,
+        out_specs=(bspec,) * 3,
+        out_shape=tuple(jax.ShapeDtypeStruct((L, B), U32) for _ in range(3)),
+        interpret=interpret,
+    )
+
+
+def _table_build_body(mod, npr, tx, ty, tz):
+    """Fill table refs (8, 24, W) with [1..8]P: slot j holds (j+1)*P,
+    slot 0 pre-seeded with P by the caller. One traced add,
+    (k+1)*P = k*P + P (the complete add covers 1P+1P=2P)."""
+    base = (tx[0], ty[0], tz[0])
+
+    def body(k, _):
+        prev = (tx[k - 1], ty[k - 1], tz[k - 1])
+        nx, ny, nz = point_add_tile(mod, npr, prev, base)
+        tx[k], ty[k], tz[k] = nx, ny, nz
+        return 0
+
+    lax.fori_loop(1, 8, body, 0, unroll=False)
+
+
+def _table_select(tx, ty, tz, mag):
+    """Select table entry |mag| per lane (mag in [0..8]; 0 -> entry 1,
+    masked out by the caller). 8-way select chain, no gathers."""
+    x = tx[0]
+    y = ty[0]
+    z = tz[0]
+    for k in range(2, 9):
+        m = (mag == k)[None, :]
+        x = jnp.where(m, tx[k - 1], x)
+        y = jnp.where(m, ty[k - 1], y)
+        z = jnp.where(m, tz[k - 1], z)
+    return x, y, z
+
+
+def _apply_digit(mod, npr, acc, tx, ty, tz, dig):
+    """acc += sign(dig) * table[|dig|]; dig == 0 is a no-op."""
+    mag = jnp.abs(dig)
+    sx, sy, sz = _table_select(tx, ty, tz, mag)
+    sy = jnp.where((dig < 0)[None, :], mod_sub_tile(mod, jnp.zeros_like(sy), sy), sy)
+    added = point_add_tile(mod, npr, acc, (sx, sy, sz))
+    return _select_tile(mag == 0, acc, added)
+
+
+@functools.lru_cache(maxsize=None)
+def _scalar_mul_fn(B: int, block: int, n_windows: int, interpret: bool):
+    """points (3x (24, B)) x signed digits (n_windows, B) -> digit-weighted
+    windowed scalar multiple. MSB-first Horner: acc = 16*acc + d_j * P."""
+
+    def kernel(mod_ref, npr_ref, px, py, pz, dig, ox, oy, oz,
+               tx, ty, tz):
+        mod = mod_ref[:, :1]
+        npr = npr_ref[:, :1]
+        tx[0], ty[0], tz[0] = px[:], py[:], pz[:]
+        _table_build_body(mod, npr, tx, ty, tz)
+
+        zero = jnp.zeros_like(pz[:])
+        acc0 = (zero, zero, zero)  # infinity (Z == 0)
+
+        def body(i, acc):
+            def dbl(_, a):
+                return point_double_tile(mod, npr, a)
+
+            acc = lax.fori_loop(0, 4, dbl, acc, unroll=False)
+            d = dig[n_windows - 1 - i]
+            return _apply_digit(mod, npr, acc, tx, ty, tz, d)
+
+        acc = lax.fori_loop(0, n_windows, body, acc0, unroll=False)
+        ox[:], oy[:], oz[:] = acc
+
+    bspec = pl.BlockSpec((L, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((n_windows, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        in_specs=[_const_spec(L)] * 2 + [bspec] * 3 + [dspec],
+        out_specs=(bspec,) * 3,
+        out_shape=tuple(jax.ShapeDtypeStruct((L, B), U32) for _ in range(3)),
+        scratch_shapes=[pltpu.VMEM((8, L, block), U32) for _ in range(3)],
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _scalar_mul_glv_fn(B: int, block: int, n_windows: int, interpret: bool):
+    """GLV twiddle multiply + FFT butterfly, one fused kernel per stage:
+
+        t  = (d1 . windows)(B) + (d2 . windows)(phi(B))
+        lo = A + t,  hi = A - t
+
+    d1/d2 are signed digit rows of the half-scalars k1, k2 with
+    tw = k1 + lambda*k2 (host-decomposed, glv.py); phi scales x by beta.
+    Requires B in the r-torsion subgroup (all KZG/FK20 inputs are).
+    """
+
+    def kernel(mod_ref, npr_ref, beta_ref, ax, ay, az, bx, by, bz,
+               d1, d2, lox, loy, loz, hix, hiy, hiz, tx, ty, tz, ux):
+        mod = mod_ref[:, :1]
+        npr = npr_ref[:, :1]
+        beta = beta_ref[:, :1]
+        tx[0], ty[0], tz[0] = bx[:], by[:], bz[:]
+        _table_build_body(mod, npr, tx, ty, tz)
+        # phi table: same entries with x scaled by beta (y/z shared)
+        def phi(k, _):
+            ux[k] = mont_mul_tile(mod, npr, tx[k], beta)
+            return 0
+
+        lax.fori_loop(0, 8, phi, 0, unroll=False)
+
+        zero = jnp.zeros_like(az[:])
+        acc0 = (zero, zero, zero)  # infinity (Z == 0)
+
+        def body(i, acc):
+            def dbl(_, a):
+                return point_double_tile(mod, npr, a)
+
+            acc = lax.fori_loop(0, 4, dbl, acc, unroll=False)
+            acc = _apply_digit(mod, npr, acc, tx, ty, tz,
+                               d1[n_windows - 1 - i])
+            return _apply_digit(mod, npr, acc, ux, ty, tz,
+                                d2[n_windows - 1 - i])
+
+        t = lax.fori_loop(0, n_windows, body, acc0, unroll=False)
+        a = (ax[:], ay[:], az[:])
+        lo = point_add_tile(mod, npr, a, t)
+        hi = point_add_tile(
+            mod, npr, a,
+            (t[0], mod_sub_tile(mod, jnp.zeros_like(t[1]), t[1]), t[2]))
+        lox[:], loy[:], loz[:] = lo
+        hix[:], hiy[:], hiz[:] = hi
+
+    bspec = pl.BlockSpec((L, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((n_windows, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        in_specs=[_const_spec(L)] * 3 + [bspec] * 6 + [dspec] * 2,
+        out_specs=(bspec,) * 6,
+        out_shape=tuple(jax.ShapeDtypeStruct((L, B), U32) for _ in range(6)),
+        scratch_shapes=[pltpu.VMEM((8, L, block), U32) for _ in range(4)],
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# canonical-layout wrappers
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _const_tiles_np():
+    mod = np.broadcast_to(
+        fp.SPEC.mod_limbs.astype(np.uint32)[:, None], (L, LANES)).copy()
+    npr = np.broadcast_to(
+        fp.SPEC.nprime_limbs.astype(np.uint32)[:, None], (L, LANES)).copy()
+    beta = np.broadcast_to(
+        np.asarray(fp.SPEC.encode(GLV_BETA), dtype=np.uint32)[:, None],
+        (L, LANES)).copy()
+    return mod, npr, beta
+
+
+def _consts():
+    mod, npr, beta = _const_tiles_np()
+    return jnp.asarray(mod), jnp.asarray(npr), jnp.asarray(beta)
+
+
+def _block_for(B: int) -> int:
+    return min(DEFAULT_BLOCK, B)
+
+
+def _flatten_pts(p: JacobianPoint):
+    shape = p.x.shape[:-1]
+    n = 1
+    for s in shape:
+        n *= s
+    return shape, tuple(c.reshape(n, L) for c in p)
+
+
+def _to_lanes(x, B: int):
+    xt = x.T
+    if xt.shape[1] != B:
+        xt = jnp.pad(xt, ((0, 0), (0, B - xt.shape[1])))
+    return xt
+
+
+def _lanes_to_pts(coords, n, shape):
+    return JacobianPoint(*(c[:, :n].T.reshape(shape + (L,)) for c in coords))
+
+
+@jax.jit
+def add_pallas(p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+    """Complete Jacobian add, fused. Broadcasts batch shapes."""
+    shape = jnp.broadcast_shapes(p.x.shape[:-1], q.x.shape[:-1])
+    p = JacobianPoint(*(jnp.broadcast_to(c, shape + (L,)) for c in p))
+    q = JacobianPoint(*(jnp.broadcast_to(c, shape + (L,)) for c in q))
+    shape, pc = _flatten_pts(p)
+    _, qc = _flatten_pts(q)
+    n = pc[0].shape[0]
+    block = _block_for(max(LANES, n))
+    B = -(-n // block) * block
+    mod, npr, _ = _consts()
+    out = _add_fn(B, block, _interpret())(
+        mod, npr, *(_to_lanes(c, B) for c in pc),
+        *(_to_lanes(c, B) for c in qc))
+    return _lanes_to_pts(out, n, shape)
+
+
+@jax.jit
+def double_pallas(p: JacobianPoint) -> JacobianPoint:
+    shape, pc = _flatten_pts(p)
+    n = pc[0].shape[0]
+    block = _block_for(max(LANES, n))
+    B = -(-n // block) * block
+    mod, npr, _ = _consts()
+    out = _double_fn(B, block, _interpret())(
+        mod, npr, *(_to_lanes(c, B) for c in pc))
+    return _lanes_to_pts(out, n, shape)
+
+
+@jax.jit
+def scalar_mul_pallas(p: JacobianPoint, digits) -> JacobianPoint:
+    """p * sum_j digits[..., j] * 16^j with signed digits in [-8, 8]
+    (LSB-first, e.g. fr.scalar_windows_signed output). Fully fused:
+    table build + the whole ladder in one kernel."""
+    shape = jnp.broadcast_shapes(p.x.shape[:-1], digits.shape[:-1])
+    n_windows = digits.shape[-1]
+    p = JacobianPoint(*(jnp.broadcast_to(c, shape + (L,)) for c in p))
+    digits = jnp.broadcast_to(digits, shape + (n_windows,))
+    shape, pc = _flatten_pts(p)
+    dig = digits.reshape(-1, n_windows).astype(jnp.int32)
+    n = pc[0].shape[0]
+    block = _block_for(max(LANES, n))
+    B = -(-n // block) * block
+    digT = dig.T
+    if digT.shape[1] != B:
+        digT = jnp.pad(digT, ((0, 0), (0, B - digT.shape[1])))
+    mod, npr, _ = _consts()
+    out = _scalar_mul_fn(B, block, n_windows, _interpret())(
+        mod, npr, *(_to_lanes(c, B) for c in pc), digT)
+    return _lanes_to_pts(out, n, shape)
+
+
+class PallasG1Ops:
+    """CurveOps-shaped facade whose add/double are the fused kernels.
+
+    Drop-in for the generic curve algorithms that take an `ops` object
+    (MSM tree reduction, window accumulation — curve/msm.py): same
+    NamedTuple point layout, same complete-add semantics, but one kernel
+    launch per point op instead of ~16 field-op launches."""
+
+    F = fp
+    _edim = 1
+
+    def infinity_like(self, p: JacobianPoint) -> JacobianPoint:
+        zero = jnp.zeros_like(p.z)
+        return JacobianPoint(zero, zero, zero)
+
+    def is_infinity(self, p: JacobianPoint):
+        return fp.is_zero(p.z)
+
+    def add(self, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+        return add_pallas(p, q)
+
+    def double(self, p: JacobianPoint) -> JacobianPoint:
+        return double_pallas(p)
+
+    def neg(self, p: JacobianPoint) -> JacobianPoint:
+        return JacobianPoint(p.x, fp.neg(p.y), p.z)
+
+    def sub(self, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+        return add_pallas(p, self.neg(q))
+
+    def _select_point(self, mask, a, b):
+        return JacobianPoint(
+            fp.select(mask, a.x, b.x),
+            fp.select(mask, a.y, b.y),
+            fp.select(mask, a.z, b.z),
+        )
+
+    select = _select_point
+
+
+ops_pallas = PallasG1Ops()
+
+
+@jax.jit
+def butterfly_glv_pallas(a: JacobianPoint, b: JacobianPoint, d1, d2):
+    """FFT-G1 butterfly (a + tw*b, a - tw*b) with host-decomposed GLV
+    digits: d1/d2 int32[N, n_windows] signed in [-8, 8], LSB-first, with
+    tw = k1 + lambda*k2 per lane. Returns (lo, hi) JacobianPoints.
+
+    Precondition: b in the r-torsion subgroup (phi(P) == lambda*P only
+    holds there) — every KZG/FK20/eth input is; matches the reference's
+    domain of validated points (bls/bls_kilic.go:122-130)."""
+    n_windows = d1.shape[-1]
+    shape, ac = _flatten_pts(a)
+    _, bc = _flatten_pts(b)
+    n = ac[0].shape[0]
+    block = _block_for(max(LANES, n))
+    B = -(-n // block) * block
+
+    def dig_lanes(d):
+        dT = d.reshape(-1, n_windows).astype(jnp.int32).T
+        if dT.shape[1] != B:
+            dT = jnp.pad(dT, ((0, 0), (0, B - dT.shape[1])))
+        return dT
+
+    mod, npr, beta = _consts()
+    out = _scalar_mul_glv_fn(B, block, n_windows, _interpret())(
+        mod, npr, beta, *(_to_lanes(c, B) for c in ac),
+        *(_to_lanes(c, B) for c in bc), dig_lanes(d1), dig_lanes(d2))
+    lo = _lanes_to_pts(out[:3], n, shape)
+    hi = _lanes_to_pts(out[3:], n, shape)
+    return lo, hi

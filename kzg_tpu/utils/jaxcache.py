@@ -103,24 +103,38 @@ def _pin_cpu_isa() -> None:
     the TPU path is unaffected by this CPU-codegen flag.
 
     Must run before the XLA CPU client is created; no-op if the flag is
-    already present.
+    already present. Returns False when it is too late — a CPU backend
+    already exists and was built without the pin — so the caller can
+    quarantine this process's cache entries (they would carry
+    +prefer-no-* features and poison the shared directory: every later
+    process would pay a slow failed AOT load per entry, forever).
     """
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_cpu_max_isa" not in flags:
-        os.environ["XLA_FLAGS"] = (flags + " --xla_cpu_max_isa=AVX2").strip()
+    if "xla_cpu_max_isa" in flags:
+        return True
+    try:
+        from jax._src import xla_bridge as _xb
+
+        initialized = bool(getattr(_xb, "_backends", None))
+    except Exception:
+        initialized = False
+    os.environ["XLA_FLAGS"] = (flags + " --xla_cpu_max_isa=AVX2").strip()
+    return not initialized
 
 
 def enable_compilation_cache(subdir: str = "jax_cache") -> None:
     import jax
 
-    _pin_cpu_isa()
+    pinned = _pin_cpu_isa()
     raise_stack_limit()
 
     root = os.environ.get(
         "KZG_TPU_CACHE",
         os.path.join(os.path.dirname(__file__), "..", "..", ".cache"),
     )
-    path = os.path.join(root, f"{subdir}-{machine_fingerprint()}")
+    tag = machine_fingerprint() if pinned else (
+        machine_fingerprint() + "-unpinned")
+    path = os.path.join(root, f"{subdir}-{tag}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
