@@ -12,11 +12,16 @@ sublanes, batch on lanes), matching field/pallas_kernels.py. Wrappers
 accept the library's canonical (..., 24) layout and relayout once per
 call.
 
-Formulas: dbl-2009-l (a=0) with the symmetric-squaring fast path, and the
-complete add-2007-bl with masked selects for P==Q / P==-Q / infinity —
-the same branchless semantics as weierstrass.CurveOps (differentially
-tested against it), which itself mirrors the reference's kilic Jacobian
-backend (reference: bls/bls_kilic.go:29-112).
+Formulas, two tiers:
+  * standalone add/double kernels: Jacobian dbl-2009-l and the complete
+    add-2007-bl with masked selects — bit-exact with
+    weierstrass.CurveOps (differentially tested against it), which
+    mirrors the reference's kilic Jacobian backend
+    (reference: bls/bls_kilic.go:29-112).
+  * ladder kernels (scalar mul, GLV butterfly): Renes–Costello–Batina
+    complete homogeneous-projective formulas (12M add / 8M double,
+    straight-line, no selects — complete because BLS12-381's E(Fp)
+    order is odd), with Jacobian conversion once per kernel call.
 
 Scalar multiplication is signed 4-bit fixed-window: an in-VMEM multiples
 table [1..8]P (built once per tile) and one fused kernel for the whole
@@ -157,6 +162,119 @@ def point_add_tile(mod, npr, p, q):
 
 
 # ---------------------------------------------------------------------------
+# complete homogeneous-projective formulas (Renes–Costello–Batina 2015,
+# eprint 2015/1060, Algorithms 7 & 9 for a=0, b3 = 3b = 12).
+#
+# COMPLETE on all of E(Fp) for BLS12-381 (the full group order h*r is
+# odd, so there is no 2-torsion): no masked selects, no is_zero
+# reductions, no embedded doubling branch — a straight-line 12M add and
+# 8M double. The ladders run in these coordinates and convert from/to
+# the library's Jacobian layout once per kernel call. Identity: (0:1:0).
+# ---------------------------------------------------------------------------
+
+def _b3_mul(mod, x):
+    """12*x mod m (b3 = 3b, b = 4): three doublings and an add."""
+    x2 = mod_add_tile(mod, x, x)
+    x4 = mod_add_tile(mod, x2, x2)
+    x8 = mod_add_tile(mod, x4, x4)
+    return mod_add_tile(mod, x8, x4)
+
+
+def proj_add(mod, npr, p, q):
+    """RCB15 Algorithm 7 (a=0): complete projective add, 12M + 2*b3."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    M = lambda a, b: mont_mul_tile(mod, npr, a, b)
+    A = lambda a, b: mod_add_tile(mod, a, b)
+    S = lambda a, b: mod_sub_tile(mod, a, b)
+
+    t0 = M(x1, x2)
+    t1 = M(y1, y2)
+    t2 = M(z1, z2)
+    t3 = A(x1, y1)
+    t4 = A(x2, y2)
+    t3 = M(t3, t4)
+    t4 = A(t0, t1)
+    t3 = S(t3, t4)          # X1Y2 + X2Y1
+    t4 = A(y1, z1)
+    x3 = A(y2, z2)
+    t4 = M(t4, x3)
+    x3 = A(t1, t2)
+    t4 = S(t4, x3)          # Y1Z2 + Y2Z1
+    x3 = A(x1, z1)
+    y3 = A(x2, z2)
+    x3 = M(x3, y3)
+    y3 = A(t0, t2)
+    y3 = S(x3, y3)          # X1Z2 + X2Z1
+    x3 = A(t0, t0)
+    t0 = A(x3, t0)          # 3 X1X2
+    t2 = _b3_mul(mod, t2)
+    z3 = A(t1, t2)
+    t1 = S(t1, t2)
+    y3 = _b3_mul(mod, y3)
+    x3 = M(t4, y3)
+    t2 = M(t3, t1)
+    x3 = S(t2, x3)
+    y3 = M(y3, t0)
+    t1 = M(t1, z3)
+    y3 = A(t1, y3)
+    t0 = M(t0, t3)
+    z3 = M(z3, t4)
+    z3 = A(z3, t0)
+    return x3, y3, z3
+
+
+def proj_double(mod, npr, p):
+    """RCB15 Algorithm 9 (a=0): complete projective double, 8M + b3."""
+    x, y, z = p
+    M = lambda a, b: mont_mul_tile(mod, npr, a, b)
+    A = lambda a, b: mod_add_tile(mod, a, b)
+    S = lambda a, b: mod_sub_tile(mod, a, b)
+
+    t0 = M(y, y)
+    z3 = A(t0, t0)
+    z3 = A(z3, z3)
+    z3 = A(z3, z3)          # 8Y^2
+    t1 = M(y, z)
+    t2 = M(z, z)
+    t2 = _b3_mul(mod, t2)   # b3 Z^2
+    x3 = M(t2, z3)
+    y3 = A(t0, t2)
+    z3 = M(t1, z3)
+    t1 = A(t2, t2)
+    t2 = A(t1, t2)
+    t0 = S(t0, t2)
+    y3 = M(t0, y3)
+    y3 = A(x3, y3)
+    t1 = M(x, y)
+    x3 = M(t0, t1)
+    x3 = A(x3, x3)
+    return x3, y3, z3
+
+
+def jac_to_proj(mod, npr, one, p):
+    """Jacobian (X, Y, Z) [x=X/Z^2, y=Y/Z^3] -> projective (XZ : Y : Z^3).
+
+    The library's zero-limb infinity (Z=0, X/Y arbitrary incl. all-zero)
+    maps to the valid projective identity (0 : 1 : 0)."""
+    x, y, z = p
+    M = lambda a, b: mont_mul_tile(mod, npr, a, b)
+    inf = _is_zero_tile(z)
+    xp = M(x, z)
+    zp = M(M(z, z), z)
+    yp = jnp.where(inf[None, :], jnp.broadcast_to(one, y.shape), y)
+    return xp, yp, zp
+
+
+def proj_to_jac(mod, npr, p):
+    """Projective (X : Y : Z) [x=X/Z, y=Y/Z] -> Jacobian (XZ, YZ^2, Z).
+    Identity (0:1:0) -> Z=0 (the library's infinity encoding)."""
+    x, y, z = p
+    M = lambda a, b: mont_mul_tile(mod, npr, a, b)
+    return M(x, z), M(y, M(z, z)), z
+
+
+# ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
 
@@ -202,14 +320,14 @@ def _double_fn(B: int, block: int, interpret: bool):
 
 
 def _table_build_body(mod, npr, tx, ty, tz):
-    """Fill table refs (8, 24, W) with [1..8]P: slot j holds (j+1)*P,
-    slot 0 pre-seeded with P by the caller. One traced add,
-    (k+1)*P = k*P + P (the complete add covers 1P+1P=2P)."""
+    """Fill table refs (8, 24, W) with [1..8]P in PROJECTIVE coords:
+    slot j holds (j+1)*P, slot 0 pre-seeded with projective P by the
+    caller. One traced complete add, (k+1)*P = k*P + P."""
     base = (tx[0], ty[0], tz[0])
 
     def body(k, _):
         prev = (tx[k - 1], ty[k - 1], tz[k - 1])
-        nx, ny, nz = point_add_tile(mod, npr, prev, base)
+        nx, ny, nz = proj_add(mod, npr, prev, base)
         tx[k], ty[k], tz[k] = nx, ny, nz
         return 0
 
@@ -231,39 +349,45 @@ def _table_select(tx, ty, tz, mag):
 
 
 def _apply_digit(mod, npr, acc, tx, ty, tz, dig):
-    """acc += sign(dig) * table[|dig|]; dig == 0 is a no-op."""
+    """acc += sign(dig) * table[|dig|] (projective complete add);
+    dig == 0 is a no-op."""
     mag = jnp.abs(dig)
     sx, sy, sz = _table_select(tx, ty, tz, mag)
-    sy = jnp.where((dig < 0)[None, :], mod_sub_tile(mod, jnp.zeros_like(sy), sy), sy)
-    added = point_add_tile(mod, npr, acc, (sx, sy, sz))
+    sy = jnp.where((dig < 0)[None, :],
+                   mod_sub_tile(mod, jnp.zeros_like(sy), sy), sy)
+    added = proj_add(mod, npr, acc, (sx, sy, sz))
     return _select_tile(mag == 0, acc, added)
 
 
 @functools.lru_cache(maxsize=None)
 def _scalar_mul_fn(B: int, block: int, n_windows: int, interpret: bool):
     """points (3x (24, B)) x signed digits (n_windows, B) -> digit-weighted
-    windowed scalar multiple. MSB-first Horner: acc = 16*acc + d_j * P."""
+    windowed scalar multiple. MSB-first Horner: acc = 16*acc + d_j * P.
+    Jacobian in/out; the ladder runs in complete projective coords."""
 
-    def kernel(mod_ref, npr_ref, px, py, pz, dig, ox, oy, oz,
+    def kernel(mod_ref, npr_ref, one_ref, px, py, pz, dig, ox, oy, oz,
                tx, ty, tz):
         mod = mod_ref[:, :1]
         npr = npr_ref[:, :1]
-        tx[0], ty[0], tz[0] = px[:], py[:], pz[:]
+        one = one_ref[:, :1]
+        tx[0], ty[0], tz[0] = jac_to_proj(
+            mod, npr, one, (px[:], py[:], pz[:]))
         _table_build_body(mod, npr, tx, ty, tz)
 
         zero = jnp.zeros_like(pz[:])
-        acc0 = (zero, zero, zero)  # infinity (Z == 0)
+        oneb = jnp.broadcast_to(one, zero.shape)
+        acc0 = (zero, oneb, zero)  # projective identity (0 : 1 : 0)
 
         def body(i, acc):
             def dbl(_, a):
-                return point_double_tile(mod, npr, a)
+                return proj_double(mod, npr, a)
 
             acc = lax.fori_loop(0, 4, dbl, acc, unroll=False)
             d = dig[n_windows - 1 - i]
             return _apply_digit(mod, npr, acc, tx, ty, tz, d)
 
         acc = lax.fori_loop(0, n_windows, body, acc0, unroll=False)
-        ox[:], oy[:], oz[:] = acc
+        ox[:], oy[:], oz[:] = proj_to_jac(mod, npr, acc)
 
     bspec = pl.BlockSpec((L, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
@@ -272,7 +396,7 @@ def _scalar_mul_fn(B: int, block: int, n_windows: int, interpret: bool):
     return pl.pallas_call(
         kernel,
         grid=(B // block,),
-        in_specs=[_const_spec(L)] * 2 + [bspec] * 3 + [dspec],
+        in_specs=[_const_spec(L)] * 3 + [bspec] * 3 + [dspec],
         out_specs=(bspec,) * 3,
         out_shape=tuple(jax.ShapeDtypeStruct((L, B), U32) for _ in range(3)),
         scratch_shapes=[pltpu.VMEM((8, L, block), U32) for _ in range(3)],
@@ -292,14 +416,17 @@ def _scalar_mul_glv_fn(B: int, block: int, n_windows: int, interpret: bool):
     Requires B in the r-torsion subgroup (all KZG/FK20 inputs are).
     """
 
-    def kernel(mod_ref, npr_ref, beta_ref, ax, ay, az, bx, by, bz,
+    def kernel(mod_ref, npr_ref, beta_ref, one_ref, ax, ay, az, bx, by, bz,
                d1, d2, lox, loy, loz, hix, hiy, hiz, tx, ty, tz, ux):
         mod = mod_ref[:, :1]
         npr = npr_ref[:, :1]
         beta = beta_ref[:, :1]
-        tx[0], ty[0], tz[0] = bx[:], by[:], bz[:]
+        one = one_ref[:, :1]
+        tx[0], ty[0], tz[0] = jac_to_proj(
+            mod, npr, one, (bx[:], by[:], bz[:]))
         _table_build_body(mod, npr, tx, ty, tz)
-        # phi table: same entries with x scaled by beta (y/z shared)
+        # phi table: same entries with x scaled by beta (y/z shared;
+        # phi((X:Y:Z)) = (beta*X : Y : Z) in projective coords too)
         def phi(k, _):
             ux[k] = mont_mul_tile(mod, npr, tx[k], beta)
             return 0
@@ -307,11 +434,12 @@ def _scalar_mul_glv_fn(B: int, block: int, n_windows: int, interpret: bool):
         lax.fori_loop(0, 8, phi, 0, unroll=False)
 
         zero = jnp.zeros_like(az[:])
-        acc0 = (zero, zero, zero)  # infinity (Z == 0)
+        oneb = jnp.broadcast_to(one, zero.shape)
+        acc0 = (zero, oneb, zero)  # projective identity (0 : 1 : 0)
 
         def body(i, acc):
             def dbl(_, a):
-                return point_double_tile(mod, npr, a)
+                return proj_double(mod, npr, a)
 
             acc = lax.fori_loop(0, 4, dbl, acc, unroll=False)
             acc = _apply_digit(mod, npr, acc, tx, ty, tz,
@@ -320,13 +448,13 @@ def _scalar_mul_glv_fn(B: int, block: int, n_windows: int, interpret: bool):
                                 d2[n_windows - 1 - i])
 
         t = lax.fori_loop(0, n_windows, body, acc0, unroll=False)
-        a = (ax[:], ay[:], az[:])
-        lo = point_add_tile(mod, npr, a, t)
-        hi = point_add_tile(
+        a = jac_to_proj(mod, npr, one, (ax[:], ay[:], az[:]))
+        lo = proj_add(mod, npr, a, t)
+        hi = proj_add(
             mod, npr, a,
             (t[0], mod_sub_tile(mod, jnp.zeros_like(t[1]), t[1]), t[2]))
-        lox[:], loy[:], loz[:] = lo
-        hix[:], hiy[:], hiz[:] = hi
+        lox[:], loy[:], loz[:] = proj_to_jac(mod, npr, lo)
+        hix[:], hiy[:], hiz[:] = proj_to_jac(mod, npr, hi)
 
     bspec = pl.BlockSpec((L, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
@@ -335,7 +463,7 @@ def _scalar_mul_glv_fn(B: int, block: int, n_windows: int, interpret: bool):
     return pl.pallas_call(
         kernel,
         grid=(B // block,),
-        in_specs=[_const_spec(L)] * 3 + [bspec] * 6 + [dspec] * 2,
+        in_specs=[_const_spec(L)] * 4 + [bspec] * 6 + [dspec] * 2,
         out_specs=(bspec,) * 6,
         out_shape=tuple(jax.ShapeDtypeStruct((L, B), U32) for _ in range(6)),
         scratch_shapes=[pltpu.VMEM((8, L, block), U32) for _ in range(4)],
@@ -356,12 +484,15 @@ def _const_tiles_np():
     beta = np.broadcast_to(
         np.asarray(fp.SPEC.encode(GLV_BETA), dtype=np.uint32)[:, None],
         (L, LANES)).copy()
-    return mod, npr, beta
+    one = np.broadcast_to(
+        fp.SPEC.one_mont.astype(np.uint32)[:, None], (L, LANES)).copy()
+    return mod, npr, beta, one
 
 
 def _consts():
-    mod, npr, beta = _const_tiles_np()
-    return jnp.asarray(mod), jnp.asarray(npr), jnp.asarray(beta)
+    mod, npr, beta, one = _const_tiles_np()
+    return (jnp.asarray(mod), jnp.asarray(npr), jnp.asarray(beta),
+            jnp.asarray(one))
 
 
 def _block_for(B: int) -> int:
@@ -398,7 +529,7 @@ def add_pallas(p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
     n = pc[0].shape[0]
     block = _block_for(max(LANES, n))
     B = -(-n // block) * block
-    mod, npr, _ = _consts()
+    mod, npr, _, _ = _consts()
     out = _add_fn(B, block, _interpret())(
         mod, npr, *(_to_lanes(c, B) for c in pc),
         *(_to_lanes(c, B) for c in qc))
@@ -411,7 +542,7 @@ def double_pallas(p: JacobianPoint) -> JacobianPoint:
     n = pc[0].shape[0]
     block = _block_for(max(LANES, n))
     B = -(-n // block) * block
-    mod, npr, _ = _consts()
+    mod, npr, _, _ = _consts()
     out = _double_fn(B, block, _interpret())(
         mod, npr, *(_to_lanes(c, B) for c in pc))
     return _lanes_to_pts(out, n, shape)
@@ -434,9 +565,9 @@ def scalar_mul_pallas(p: JacobianPoint, digits) -> JacobianPoint:
     digT = dig.T
     if digT.shape[1] != B:
         digT = jnp.pad(digT, ((0, 0), (0, B - digT.shape[1])))
-    mod, npr, _ = _consts()
+    mod, npr, _, one = _consts()
     out = _scalar_mul_fn(B, block, n_windows, _interpret())(
-        mod, npr, *(_to_lanes(c, B) for c in pc), digT)
+        mod, npr, one, *(_to_lanes(c, B) for c in pc), digT)
     return _lanes_to_pts(out, n, shape)
 
 
@@ -505,9 +636,9 @@ def butterfly_glv_pallas(a: JacobianPoint, b: JacobianPoint, d1, d2):
             dT = jnp.pad(dT, ((0, 0), (0, B - dT.shape[1])))
         return dT
 
-    mod, npr, beta = _consts()
+    mod, npr, beta, one = _consts()
     out = _scalar_mul_glv_fn(B, block, n_windows, _interpret())(
-        mod, npr, beta, *(_to_lanes(c, B) for c in ac),
+        mod, npr, beta, one, *(_to_lanes(c, B) for c in ac),
         *(_to_lanes(c, B) for c in bc), dig_lanes(d1), dig_lanes(d2))
     lo = _lanes_to_pts(out[:3], n, shape)
     hi = _lanes_to_pts(out[3:], n, shape)

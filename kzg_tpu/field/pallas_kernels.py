@@ -117,49 +117,16 @@ def _cond_sub_mod(mod, x):
     return _carry_fold(_add_one_row0(cols, need.astype(U32)))
 
 
-def _sqr_cols(a, out_limbs: int):
-    """Column sums of a*a exploiting symmetry: off-diagonal products are
-    computed once and doubled (carry-save budget: each column accumulates
-    <= 2L halves < 2^17 from doubled terms, still < 2^23 for L <= 32).
-    ~45% fewer VPU multiplies than _product_cols(a, a)."""
-    L = a.shape[0]
-    W = a.shape[1]
-    acc = jnp.zeros((out_limbs, W), dtype=U32)
-    for i in range(L):
-        # diagonal a_i^2 once, off-diagonals a_i*a_j (j > i) doubled
-        hi_rows = min(L - i - 1, max(out_limbs - (2 * i + 1), 0))
-        p_diag = a[i][None, :] * a[i][None, :]          # (1, W)
-        if 2 * i < out_limbs:
-            acc = acc + jnp.pad(
-                p_diag & LIMB_MASK, ((2 * i, out_limbs - 2 * i - 1), (0, 0)))
-        if 2 * i + 1 < out_limbs:
-            acc = acc + jnp.pad(
-                p_diag >> LIMB_BITS,
-                ((2 * i + 1, out_limbs - 2 * i - 2), (0, 0)))
-        if hi_rows > 0:
-            p = a[i][None, :] * a[i + 1: i + 1 + hi_rows]  # (hi_rows, W)
-            dbl = (p & LIMB_MASK) * 2
-            dblh = (p >> LIMB_BITS) * 2
-            acc = acc + jnp.pad(
-                dbl, ((2 * i + 1, out_limbs - (2 * i + 1) - hi_rows), (0, 0)))
-            if 2 * i + 2 < out_limbs:
-                hi_n = min(hi_rows, out_limbs - (2 * i + 2))
-                acc = acc + jnp.pad(
-                    dblh[:hi_n],
-                    ((2 * i + 2, out_limbs - (2 * i + 2) - hi_n), (0, 0)))
-    return acc
-
-
 def mont_sqr_tile(mod, nprime, a):
-    """REDC(a*a) on (L, W) tiles — the symmetric-product fast path."""
-    L = a.shape[0]
-    modb = jnp.broadcast_to(mod, a.shape)
-    nprimeb = jnp.broadcast_to(nprime, a.shape)
-    t = _carry_fold(_sqr_cols(a, 2 * L))
-    q = _carry_fold(_product_cols(t[:L], nprimeb, L))
-    qm = _carry_fold(_product_cols(q, modb, 2 * L))
-    s = _carry_fold(t + qm)
-    return _cond_sub_mod(mod, s[L:])
+    """REDC(a*a) on (L, W) tiles.
+
+    Measured on-chip (scripts/exp_pointops.py): the symmetric-product
+    "fast path" (_sqr_cols — half the multiplies, but 24 irregular pad
+    shapes) generates far WORSE Mosaic code than the regular product
+    loop — a 5-squaring point doubling ran 3x slower through it. On the
+    VPU, regular code beats fewer-but-irregular ops; squaring is just a
+    multiply."""
+    return mont_mul_tile(mod, nprime, a, a)
 
 
 def mont_mul_tile(mod, nprime, a, b):
