@@ -50,6 +50,10 @@ from ..field.pallas_kernels import (
     _const_spec,
     _interpret,
     _product_cols,
+    lazy_add_tile,
+    lazy_canon_tile,
+    lazy_mul_tile,
+    lazy_sub_tile,
     mod_add_tile,
     mod_sub_tile,
     mont_mul_tile,
@@ -59,6 +63,21 @@ from .weierstrass import JacobianPoint
 
 U32 = jnp.uint32
 L = fp.SPEC.n_limbs  # 24
+
+# Extended lazy domain for the ladder kernels (field/pallas_kernels.py
+# "lazy-reduction tile ops"): one headroom limb (LL = 25, R_ext = 2^400)
+# gives R_ext/m ~ 2^19 of slack, so adds/subs never reduce and lazy_mul
+# drops its trailing conditional subtract. The bound audit for the RCB
+# formulas below: mul outputs < 1.01m; add outputs < sum of operands;
+# subs add K*m (K = 64 uniformly; every subtrahend in the formulas stays
+# < 13m); the largest intermediate is b3(65m) < 780m ~ 2^390.6 << 2^400,
+# and the largest product pair (129m, 780m) satisfies
+# 129*780 < R_ext/m ~ 2^19. Values enter/leave in the library's R=2^384
+# Montgomery form: to-ext is one lazy_mul by C_IN = 2^416 mod m
+# (multiplies by 2^16), from-ext one lazy_mul by C_OUT = 2^384 mod m
+# plus one canonical conditional subtract.
+LL = L + 1  # 25
+R_EXT = 1 << (16 * LL)
 
 # GLV endomorphism constants (verified against the host EC oracle in
 # tests/test_pallas_g1.py): lambda is a primitive cube root of unity
@@ -168,25 +187,40 @@ def point_add_tile(mod, npr, p, q):
 # COMPLETE on all of E(Fp) for BLS12-381 (the full group order h*r is
 # odd, so there is no 2-torsion): no masked selects, no is_zero
 # reductions, no embedded doubling branch — a straight-line 12M add and
-# 8M double. The ladders run in these coordinates and convert from/to
+# 8M double. The ladders run in these coordinates, in the LL-limb lazy
+# domain (no canonical reduction anywhere inside), and convert from/to
 # the library's Jacobian layout once per kernel call. Identity: (0:1:0).
+#
+# `lz` is the lazy context tuple (modx, nprx, km64): extended-domain
+# modulus / -m^-1 mod R_ext tiles and the precomputed 64*m tile that
+# every lazy subtraction offsets by.
 # ---------------------------------------------------------------------------
 
-def _b3_mul(mod, x):
-    """12*x mod m (b3 = 3b, b = 4): three doublings and an add."""
-    x2 = mod_add_tile(mod, x, x)
-    x4 = mod_add_tile(mod, x2, x2)
-    x8 = mod_add_tile(mod, x4, x4)
-    return mod_add_tile(mod, x8, x4)
+def _lazy_ctx(modx, nprx):
+    """Build the in-kernel lazy context: km64 = 64*m by repeated
+    doubling (six folded adds, done once per kernel invocation)."""
+    km = modx
+    for _ in range(6):
+        km = lazy_add_tile(km, km)
+    return (modx, nprx, km)
 
 
-def proj_add(mod, npr, p, q):
+def _b3_mul(lz, x):
+    """12*x (b3 = 3b, b = 4): three doublings and an add, no reduction."""
+    x2 = lazy_add_tile(x, x)
+    x4 = lazy_add_tile(x2, x2)
+    x8 = lazy_add_tile(x4, x4)
+    return lazy_add_tile(x8, x4)
+
+
+def proj_add(lz, p, q):
     """RCB15 Algorithm 7 (a=0): complete projective add, 12M + 2*b3."""
+    modx, nprx, km = lz
     x1, y1, z1 = p
     x2, y2, z2 = q
-    M = lambda a, b: mont_mul_tile(mod, npr, a, b)
-    A = lambda a, b: mod_add_tile(mod, a, b)
-    S = lambda a, b: mod_sub_tile(mod, a, b)
+    M = lambda a, b: lazy_mul_tile(modx, nprx, a, b)
+    A = lazy_add_tile
+    S = lambda a, b: lazy_sub_tile(km, a, b)
 
     t0 = M(x1, x2)
     t1 = M(y1, y2)
@@ -208,10 +242,10 @@ def proj_add(mod, npr, p, q):
     y3 = S(x3, y3)          # X1Z2 + X2Z1
     x3 = A(t0, t0)
     t0 = A(x3, t0)          # 3 X1X2
-    t2 = _b3_mul(mod, t2)
+    t2 = _b3_mul(lz, t2)
     z3 = A(t1, t2)
     t1 = S(t1, t2)
-    y3 = _b3_mul(mod, y3)
+    y3 = _b3_mul(lz, y3)
     x3 = M(t4, y3)
     t2 = M(t3, t1)
     x3 = S(t2, x3)
@@ -224,12 +258,13 @@ def proj_add(mod, npr, p, q):
     return x3, y3, z3
 
 
-def proj_double(mod, npr, p):
+def proj_double(lz, p):
     """RCB15 Algorithm 9 (a=0): complete projective double, 8M + b3."""
+    modx, nprx, km = lz
     x, y, z = p
-    M = lambda a, b: mont_mul_tile(mod, npr, a, b)
-    A = lambda a, b: mod_add_tile(mod, a, b)
-    S = lambda a, b: mod_sub_tile(mod, a, b)
+    M = lambda a, b: lazy_mul_tile(modx, nprx, a, b)
+    A = lazy_add_tile
+    S = lambda a, b: lazy_sub_tile(km, a, b)
 
     t0 = M(y, y)
     z3 = A(t0, t0)
@@ -237,7 +272,7 @@ def proj_double(mod, npr, p):
     z3 = A(z3, z3)          # 8Y^2
     t1 = M(y, z)
     t2 = M(z, z)
-    t2 = _b3_mul(mod, t2)   # b3 Z^2
+    t2 = _b3_mul(lz, t2)    # b3 Z^2
     x3 = M(t2, z3)
     y3 = A(t0, t2)
     z3 = M(t1, z3)
@@ -252,25 +287,51 @@ def proj_double(mod, npr, p):
     return x3, y3, z3
 
 
-def jac_to_proj(mod, npr, one, p):
-    """Jacobian (X, Y, Z) [x=X/Z^2, y=Y/Z^3] -> projective (XZ : Y : Z^3).
+def to_ext(lz, cin, v):
+    """(L, W) canonical R-form value -> (LL, W) lazy R_ext-form.
+
+    Pads the headroom limb and multiplies by C_IN = 2^(16*(2*LL-L)) mod m
+    (net effect: value * 2^(16*(LL-L)), i.e. a*R -> a*R_ext). Output is a
+    fresh lazy_mul result, < 1.01m."""
+    modx, nprx, _ = lz
+    vx = jnp.pad(v, ((0, LL - L), (0, 0)))
+    return lazy_mul_tile(modx, nprx, vx, cin)
+
+
+def from_ext(lz, cout, v):
+    """(LL, W) lazy R_ext-form -> (L, W) canonical R-form.
+
+    Multiplies by C_OUT = 2^(16*L) mod m (net: divide by 2^(16*(LL-L))),
+    then one canonical conditional subtract; the headroom limb of the
+    result is zero and is dropped."""
+    modx, nprx, _ = lz
+    out = lazy_canon_tile(modx, lazy_mul_tile(modx, nprx, v, cout))
+    return out[:L]
+
+
+def jac_to_proj(lz, one_ext, p):
+    """Jacobian (X, Y, Z) [x=X/Z^2, y=Y/Z^3] -> projective (XZ : Y : Z^3),
+    in the lazy ext domain.
 
     The library's zero-limb infinity (Z=0, X/Y arbitrary incl. all-zero)
     maps to the valid projective identity (0 : 1 : 0)."""
+    modx, nprx, _ = lz
     x, y, z = p
-    M = lambda a, b: mont_mul_tile(mod, npr, a, b)
+    M = lambda a, b: lazy_mul_tile(modx, nprx, a, b)
     inf = _is_zero_tile(z)
     xp = M(x, z)
     zp = M(M(z, z), z)
-    yp = jnp.where(inf[None, :], jnp.broadcast_to(one, y.shape), y)
+    yp = jnp.where(inf[None, :], jnp.broadcast_to(one_ext, y.shape), y)
     return xp, yp, zp
 
 
-def proj_to_jac(mod, npr, p):
-    """Projective (X : Y : Z) [x=X/Z, y=Y/Z] -> Jacobian (XZ, YZ^2, Z).
+def proj_to_jac(lz, p):
+    """Projective (X : Y : Z) [x=X/Z, y=Y/Z] -> Jacobian (XZ, YZ^2, Z),
+    still in the lazy ext domain (callers run from_ext on each coord).
     Identity (0:1:0) -> Z=0 (the library's infinity encoding)."""
+    modx, nprx, _ = lz
     x, y, z = p
-    M = lambda a, b: mont_mul_tile(mod, npr, a, b)
+    M = lambda a, b: lazy_mul_tile(modx, nprx, a, b)
     return M(x, z), M(y, M(z, z)), z
 
 
@@ -319,15 +380,15 @@ def _double_fn(B: int, block: int, interpret: bool):
     )
 
 
-def _table_build_body(mod, npr, tx, ty, tz):
-    """Fill table refs (8, 24, W) with [1..8]P in PROJECTIVE coords:
+def _table_build_body(lz, tx, ty, tz):
+    """Fill table refs (8, LL, W) with [1..8]P in lazy PROJECTIVE coords:
     slot j holds (j+1)*P, slot 0 pre-seeded with projective P by the
     caller. One traced complete add, (k+1)*P = k*P + P."""
     base = (tx[0], ty[0], tz[0])
 
     def body(k, _):
         prev = (tx[k - 1], ty[k - 1], tz[k - 1])
-        nx, ny, nz = proj_add(mod, npr, prev, base)
+        nx, ny, nz = proj_add(lz, prev, base)
         tx[k], ty[k], tz[k] = nx, ny, nz
         return 0
 
@@ -348,46 +409,64 @@ def _table_select(tx, ty, tz, mag):
     return x, y, z
 
 
-def _apply_digit(mod, npr, acc, tx, ty, tz, dig):
-    """acc += sign(dig) * table[|dig|] (projective complete add);
+def _apply_digit(lz, acc, tx, ty, tz, dig):
+    """acc += sign(dig) * table[|dig|] (lazy projective complete add);
     dig == 0 is a no-op."""
     mag = jnp.abs(dig)
     sx, sy, sz = _table_select(tx, ty, tz, mag)
     sy = jnp.where((dig < 0)[None, :],
-                   mod_sub_tile(mod, jnp.zeros_like(sy), sy), sy)
-    added = proj_add(mod, npr, acc, (sx, sy, sz))
+                   lazy_sub_tile(lz[2], jnp.zeros_like(sy), sy), sy)
+    added = proj_add(lz, acc, (sx, sy, sz))
     return _select_tile(mag == 0, acc, added)
+
+
+# lazy-domain constants ride in SEPARATE kernel operands, one (LL, LANES)
+# ref each, sliced [:, :1] from row 0. Measured (scripts/exp_ab_mul.py vs
+# exp_lazyops.py): slicing the same values out of one stacked const ref
+# made every product against them ~4x slower — mid-array sublane slices
+# poison Mosaic's codegen for all downstream ops.
+N_CST = 6  # modx, nprx, c_in, c_out, one_ext, beta_ext
+
+
+def _kernel_ctx(crefs):
+    """(lz, cin, cout, one_ext) from the per-constant operand refs
+    (modx, nprx, cin, cout, one) — each a full (LL, LANES) ref."""
+    modx_ref, nprx_ref, cin_ref, cout_ref, one_ref = crefs
+    lz = _lazy_ctx(modx_ref[:, :1], nprx_ref[:, :1])
+    return (lz, cin_ref[:, :1], cout_ref[:, :1], one_ref[:, :1])
 
 
 @functools.lru_cache(maxsize=None)
 def _scalar_mul_fn(B: int, block: int, n_windows: int, interpret: bool):
     """points (3x (24, B)) x signed digits (n_windows, B) -> digit-weighted
     windowed scalar multiple. MSB-first Horner: acc = 16*acc + d_j * P.
-    Jacobian in/out; the ladder runs in complete projective coords."""
+    Jacobian in/out; the ladder runs in lazy complete projective coords."""
 
-    def kernel(mod_ref, npr_ref, one_ref, px, py, pz, dig, ox, oy, oz,
-               tx, ty, tz):
-        mod = mod_ref[:, :1]
-        npr = npr_ref[:, :1]
-        one = one_ref[:, :1]
-        tx[0], ty[0], tz[0] = jac_to_proj(
-            mod, npr, one, (px[:], py[:], pz[:]))
-        _table_build_body(mod, npr, tx, ty, tz)
+    def kernel(modx_ref, nprx_ref, cin_ref, cout_ref, one_ref,
+               px, py, pz, dig, ox, oy, oz, tx, ty, tz):
+        lz, cin, cout, one_ext = _kernel_ctx(
+            (modx_ref, nprx_ref, cin_ref, cout_ref, one_ref))
+        p_ext = tuple(to_ext(lz, cin, c) for c in (px[:], py[:], pz[:]))
+        tx[0], ty[0], tz[0] = jac_to_proj(lz, one_ext, p_ext)
+        _table_build_body(lz, tx, ty, tz)
 
-        zero = jnp.zeros_like(pz[:])
-        oneb = jnp.broadcast_to(one, zero.shape)
+        zero = jnp.zeros((LL, block), dtype=U32)
+        oneb = jnp.broadcast_to(one_ext, zero.shape)
         acc0 = (zero, oneb, zero)  # projective identity (0 : 1 : 0)
 
         def body(i, acc):
             def dbl(_, a):
-                return proj_double(mod, npr, a)
+                return proj_double(lz, a)
 
             acc = lax.fori_loop(0, 4, dbl, acc, unroll=False)
             d = dig[n_windows - 1 - i]
-            return _apply_digit(mod, npr, acc, tx, ty, tz, d)
+            return _apply_digit(lz, acc, tx, ty, tz, d)
 
         acc = lax.fori_loop(0, n_windows, body, acc0, unroll=False)
-        ox[:], oy[:], oz[:] = proj_to_jac(mod, npr, acc)
+        jx, jy, jz = proj_to_jac(lz, acc)
+        ox[:] = from_ext(lz, cout, jx)
+        oy[:] = from_ext(lz, cout, jy)
+        oz[:] = from_ext(lz, cout, jz)
 
     bspec = pl.BlockSpec((L, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
@@ -396,10 +475,10 @@ def _scalar_mul_fn(B: int, block: int, n_windows: int, interpret: bool):
     return pl.pallas_call(
         kernel,
         grid=(B // block,),
-        in_specs=[_const_spec(L)] * 3 + [bspec] * 3 + [dspec],
+        in_specs=[_const_spec(LL)] * 5 + [bspec] * 3 + [dspec],
         out_specs=(bspec,) * 3,
         out_shape=tuple(jax.ShapeDtypeStruct((L, B), U32) for _ in range(3)),
-        scratch_shapes=[pltpu.VMEM((8, L, block), U32) for _ in range(3)],
+        scratch_shapes=[pltpu.VMEM((8, LL, block), U32) for _ in range(3)],
         interpret=interpret,
     )
 
@@ -416,45 +495,52 @@ def _scalar_mul_glv_fn(B: int, block: int, n_windows: int, interpret: bool):
     Requires B in the r-torsion subgroup (all KZG/FK20 inputs are).
     """
 
-    def kernel(mod_ref, npr_ref, beta_ref, one_ref, ax, ay, az, bx, by, bz,
+    def kernel(modx_ref, nprx_ref, cin_ref, cout_ref, one_ref, beta_ref,
+               ax, ay, az, bx, by, bz,
                d1, d2, lox, loy, loz, hix, hiy, hiz, tx, ty, tz, ux):
-        mod = mod_ref[:, :1]
-        npr = npr_ref[:, :1]
+        lz, cin, cout, one_ext = _kernel_ctx(
+            (modx_ref, nprx_ref, cin_ref, cout_ref, one_ref))
         beta = beta_ref[:, :1]
-        one = one_ref[:, :1]
-        tx[0], ty[0], tz[0] = jac_to_proj(
-            mod, npr, one, (bx[:], by[:], bz[:]))
-        _table_build_body(mod, npr, tx, ty, tz)
+        b_ext = tuple(to_ext(lz, cin, c) for c in (bx[:], by[:], bz[:]))
+        tx[0], ty[0], tz[0] = jac_to_proj(lz, one_ext, b_ext)
+        _table_build_body(lz, tx, ty, tz)
         # phi table: same entries with x scaled by beta (y/z shared;
         # phi((X:Y:Z)) = (beta*X : Y : Z) in projective coords too)
+        modx, nprx, _ = lz
+
         def phi(k, _):
-            ux[k] = mont_mul_tile(mod, npr, tx[k], beta)
+            ux[k] = lazy_mul_tile(modx, nprx, tx[k], beta)
             return 0
 
         lax.fori_loop(0, 8, phi, 0, unroll=False)
 
-        zero = jnp.zeros_like(az[:])
-        oneb = jnp.broadcast_to(one, zero.shape)
+        zero = jnp.zeros((LL, block), dtype=U32)
+        oneb = jnp.broadcast_to(one_ext, zero.shape)
         acc0 = (zero, oneb, zero)  # projective identity (0 : 1 : 0)
 
         def body(i, acc):
             def dbl(_, a):
-                return proj_double(mod, npr, a)
+                return proj_double(lz, a)
 
             acc = lax.fori_loop(0, 4, dbl, acc, unroll=False)
-            acc = _apply_digit(mod, npr, acc, tx, ty, tz,
+            acc = _apply_digit(lz, acc, tx, ty, tz,
                                d1[n_windows - 1 - i])
-            return _apply_digit(mod, npr, acc, ux, ty, tz,
+            return _apply_digit(lz, acc, ux, ty, tz,
                                 d2[n_windows - 1 - i])
 
         t = lax.fori_loop(0, n_windows, body, acc0, unroll=False)
-        a = jac_to_proj(mod, npr, one, (ax[:], ay[:], az[:]))
-        lo = proj_add(mod, npr, a, t)
+        a = jac_to_proj(
+            lz, one_ext,
+            tuple(to_ext(lz, cin, c) for c in (ax[:], ay[:], az[:])))
+        lo = proj_add(lz, a, t)
         hi = proj_add(
-            mod, npr, a,
-            (t[0], mod_sub_tile(mod, jnp.zeros_like(t[1]), t[1]), t[2]))
-        lox[:], loy[:], loz[:] = proj_to_jac(mod, npr, lo)
-        hix[:], hiy[:], hiz[:] = proj_to_jac(mod, npr, hi)
+            lz, a,
+            (t[0], lazy_sub_tile(lz[2], jnp.zeros_like(t[1]), t[1]), t[2]))
+        for refs, pt in (((lox, loy, loz), lo), ((hix, hiy, hiz), hi)):
+            jx, jy, jz = proj_to_jac(lz, pt)
+            refs[0][:] = from_ext(lz, cout, jx)
+            refs[1][:] = from_ext(lz, cout, jy)
+            refs[2][:] = from_ext(lz, cout, jz)
 
     bspec = pl.BlockSpec((L, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
@@ -463,10 +549,10 @@ def _scalar_mul_glv_fn(B: int, block: int, n_windows: int, interpret: bool):
     return pl.pallas_call(
         kernel,
         grid=(B // block,),
-        in_specs=[_const_spec(L)] * 4 + [bspec] * 6 + [dspec] * 2,
+        in_specs=[_const_spec(LL)] * 6 + [bspec] * 6 + [dspec] * 2,
         out_specs=(bspec,) * 6,
         out_shape=tuple(jax.ShapeDtypeStruct((L, B), U32) for _ in range(6)),
-        scratch_shapes=[pltpu.VMEM((8, L, block), U32) for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((8, LL, block), U32) for _ in range(4)],
         interpret=interpret,
     )
 
@@ -475,24 +561,46 @@ def _scalar_mul_glv_fn(B: int, block: int, n_windows: int, interpret: bool):
 # canonical-layout wrappers
 # ---------------------------------------------------------------------------
 
+def _limbs16(v: int, n: int) -> np.ndarray:
+    return np.array([(v >> (16 * i)) & 0xFFFF for i in range(n)],
+                    dtype=np.uint32)
+
+
 @functools.lru_cache(maxsize=None)
 def _const_tiles_np():
+    """(mod, npr) canonical 24-limb tiles for the standalone kernels."""
     mod = np.broadcast_to(
         fp.SPEC.mod_limbs.astype(np.uint32)[:, None], (L, LANES)).copy()
     npr = np.broadcast_to(
         fp.SPEC.nprime_limbs.astype(np.uint32)[:, None], (L, LANES)).copy()
-    beta = np.broadcast_to(
-        np.asarray(fp.SPEC.encode(GLV_BETA), dtype=np.uint32)[:, None],
-        (L, LANES)).copy()
-    one = np.broadcast_to(
-        fp.SPEC.one_mont.astype(np.uint32)[:, None], (L, LANES)).copy()
-    return mod, npr, beta, one
+    return mod, npr
+
+
+@functools.lru_cache(maxsize=None)
+def _cst_np():
+    """Lazy-domain constant tiles for the ladder kernels, one (LL, LANES)
+    array each: modulus, -m^-1 mod R_ext, the two domain-shift constants,
+    the ext-Montgomery one, and the ext-Montgomery GLV beta."""
+    m = FP_MODULUS
+    rows = [
+        _limbs16(m, LL),
+        _limbs16((-pow(m, -1, R_EXT)) % R_EXT, LL),
+        _limbs16(pow(2, 16 * (2 * LL - L), m), LL),   # C_IN
+        _limbs16(pow(2, 16 * L, m), LL),              # C_OUT
+        _limbs16(R_EXT % m, LL),                      # one_ext
+        _limbs16((GLV_BETA * R_EXT) % m, LL),         # beta_ext
+    ]
+    return tuple(
+        np.broadcast_to(r[:, None], (LL, LANES)).copy() for r in rows)
 
 
 def _consts():
-    mod, npr, beta, one = _const_tiles_np()
-    return (jnp.asarray(mod), jnp.asarray(npr), jnp.asarray(beta),
-            jnp.asarray(one))
+    mod, npr = _const_tiles_np()
+    return jnp.asarray(mod), jnp.asarray(npr)
+
+
+def _cst():
+    return tuple(jnp.asarray(r) for r in _cst_np())
 
 
 def _block_for(B: int) -> int:
@@ -529,7 +637,7 @@ def add_pallas(p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
     n = pc[0].shape[0]
     block = _block_for(max(LANES, n))
     B = -(-n // block) * block
-    mod, npr, _, _ = _consts()
+    mod, npr = _consts()
     out = _add_fn(B, block, _interpret())(
         mod, npr, *(_to_lanes(c, B) for c in pc),
         *(_to_lanes(c, B) for c in qc))
@@ -542,7 +650,7 @@ def double_pallas(p: JacobianPoint) -> JacobianPoint:
     n = pc[0].shape[0]
     block = _block_for(max(LANES, n))
     B = -(-n // block) * block
-    mod, npr, _, _ = _consts()
+    mod, npr = _consts()
     out = _double_fn(B, block, _interpret())(
         mod, npr, *(_to_lanes(c, B) for c in pc))
     return _lanes_to_pts(out, n, shape)
@@ -565,9 +673,8 @@ def scalar_mul_pallas(p: JacobianPoint, digits) -> JacobianPoint:
     digT = dig.T
     if digT.shape[1] != B:
         digT = jnp.pad(digT, ((0, 0), (0, B - digT.shape[1])))
-    mod, npr, _, one = _consts()
     out = _scalar_mul_fn(B, block, n_windows, _interpret())(
-        mod, npr, one, *(_to_lanes(c, B) for c in pc), digT)
+        *_cst()[:5], *(_to_lanes(c, B) for c in pc), digT)
     return _lanes_to_pts(out, n, shape)
 
 
@@ -636,9 +743,8 @@ def butterfly_glv_pallas(a: JacobianPoint, b: JacobianPoint, d1, d2):
             dT = jnp.pad(dT, ((0, 0), (0, B - dT.shape[1])))
         return dT
 
-    mod, npr, beta, one = _consts()
     out = _scalar_mul_glv_fn(B, block, n_windows, _interpret())(
-        mod, npr, beta, one, *(_to_lanes(c, B) for c in ac),
+        *_cst(), *(_to_lanes(c, B) for c in ac),
         *(_to_lanes(c, B) for c in bc), dig_lanes(d1), dig_lanes(d2))
     lo = _lanes_to_pts(out[:3], n, shape)
     hi = _lanes_to_pts(out[3:], n, shape)

@@ -172,8 +172,13 @@ def decompress_g1_batch(datas, subgroup_check: bool = True):
             ok_sub = jnp.ones_like(on_curve)
         return y, on_curve, y_big, ok_sub
 
+    from ..utils.jaxcache import no_cache_write
+
     x_mont = fp.from_int_batch(xs)
-    y, on_curve, y_big, ok_sub = core(x_mont, subgroup_check)
+    # The compiled subgroup-check ladder crashes XLA's executable
+    # serializer flakily mid-suite (see no_cache_write); don't cache it.
+    with no_cache_write():
+        y, on_curve, y_big, ok_sub = core(x_mont, subgroup_check)
     y_ints = fp.to_int_batch(y)
     on_curve = np.asarray(jax.device_get(on_curve))
     y_big = np.asarray(jax.device_get(y_big))

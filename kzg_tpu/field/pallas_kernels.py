@@ -146,6 +146,69 @@ def mont_mul_tile(mod, nprime, a, b):
     return _cond_sub_mod(mod, s[L:])
 
 
+# ---------------------------------------------------------------------------
+# lazy-reduction tile ops (the ladder-kernel fast path)
+#
+# Measured on-chip (scripts/exp_addsub.py): a mod_add/mod_sub costs
+# ~1/7 of a mont_mul, almost all of it the _geq + conditional-subtract
+# chain (a 24-step serial compare on thin (W,) rows) — and every
+# mont_mul ends with one more. Point formulas do ~27 add/subs and 12
+# muls per op, so canonical reduction is ~30% of point-op time and the
+# dominant *serial-depth* contributor.
+#
+# These ops drop reduction entirely by working in an EXTENDED Montgomery
+# domain with headroom limbs: tiles carry LL = L + ext rows (R_ext =
+# 2^(16*LL)), values are kept carry-folded (16-bit rows) but allowed to
+# float in [0, ~2^19 * m):
+#
+#   lazy_mul:  plain REDC_ext with NO trailing conditional subtract —
+#              for inputs < c*m with c^2*m < R_ext the output is < ~1.01m
+#              (BLS12-381 Fp at LL=25: R_ext/m ~ 2^19, so c <= ~700)
+#   lazy_add:  carry_fold(a + b) — bound grows, nothing reduced
+#   lazy_sub:  a + (K*m - b) via complement addition against a fixed
+#              multiple of the modulus — NO compare; K*m must bound b
+#
+# Domain conversion (values enter/leave in the library's R = 2^(16*L)
+# Montgomery form): to-ext multiplies by 2^(16*ext) (one lazy_mul by
+# C_IN = 2^(16*(2*LL-L)) mod m), from-ext divides by it (one lazy_mul by
+# C_OUT = 2^(16*L) mod m) followed by one canonical cond-subtract.
+# Callers pass the extended-domain constants (mod/nprime/C in LL rows);
+# see curve/pallas_g1.py for the Fp instance and the bound audit.
+# ---------------------------------------------------------------------------
+
+def lazy_mul_tile(modx, nprx, a, b):
+    """REDC over R_ext = 2^(16*LL) without the final conditional
+    subtract. a, b: (LL, W) carry-folded tiles with a*b < R_ext*m;
+    output < m*(a*b/(R_ext*m) + 1) — i.e. just above m, never >= 2m."""
+    LL = a.shape[0]
+    modb = jnp.broadcast_to(modx, a.shape)
+    nprb = jnp.broadcast_to(nprx, a.shape)
+    t = _carry_fold(_product_cols(a, b, 2 * LL))
+    q = _carry_fold(_product_cols(t[:LL], nprb, LL))
+    qm = _carry_fold(_product_cols(q, modb, 2 * LL))
+    s = _carry_fold(t + qm)
+    return s[LL:]
+
+
+def lazy_add_tile(a, b):
+    """a + b with carry folding only — the bound is the caller's to track."""
+    return _carry_fold(a + b)
+
+
+def lazy_sub_tile(km, a, b):
+    """a - b + K*m (km = K*m as a carry-folded (LL, W) tile, K*m > b).
+
+    Complement addition: a + km + (~b) + 1 mod 2^(16*LL) — exact as an
+    integer because 0 <= a + km - b < 2^(16*LL). No compare chain."""
+    cols = a + km + (LIMB_MASK - b)
+    return _carry_fold(_add_one_row0(cols, jnp.ones(a.shape[1:], dtype=U32)))
+
+
+def lazy_canon_tile(modx, x):
+    """Value < 2m (e.g. fresh lazy_mul output) -> canonical [0, m)."""
+    return _cond_sub_mod(jnp.broadcast_to(modx, x.shape), x)
+
+
 def mod_add_tile(mod, a, b):
     return _cond_sub_mod(mod, _carry_fold(a + b))
 

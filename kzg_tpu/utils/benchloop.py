@@ -1,6 +1,7 @@
-"""Transport-robust benchmark timing: the iteration loop runs ON DEVICE.
+"""Transport-robust benchmark timing: slope between a single dispatch
+and a k-iteration on-device loop.
 
-Two measured pathologies of this dev environment's device transport
+Three measured pathologies of this dev environment's device transport
 (a relay/tunnel in front of the chip) make naive timing wrong:
 
 1. `block_until_ready()` does NOT wait for execution — it returns after
@@ -8,24 +9,35 @@ Two measured pathologies of this dev environment's device transport
    `device_get` of the same value draining the queue). Any timing that
    syncs with block_until_ready measures enqueue latency, not compute.
    Round 1/2's headline numbers (e.g. "Fr FFT 2^15 in 20 us") were this
-   artifact; the true device time of that program is ~10.9 ms.
-2. Per-dispatch round-trip fluctuates from ~0.06 ms to tens of ms
-   BETWEEN process sessions, so per-call host loops measure the tunnel
-   on a bad session (round 2's zero_poly "458 ms" row).
+   artifact; the true device time of that program is ~1 ms.
+2. Per-dispatch fixed cost fluctuates from ~0.06 ms to ~90 ms BETWEEN
+   process sessions, so per-call host loops measure the tunnel on a bad
+   session, and subtracting a separately-probed RTT is only as good as
+   the probe.
+3. Carrying the (unchanged) argument tuple through a lax.scan with an
+   optimization_barrier — round 3's loop shape — inflates per-iteration
+   cost ~4x for Pallas programs (measured scripts/exp_truth.py: a kernel
+   whose true rate is 7.0 us/mul read 30 us/mul through that loop).
 
-`device_loop` fixes both, as the b.N analogue of the reference's Go
-benchmarks (fft_fr_bench_test.go etc.) with the loop compiled into ONE
-dispatch:
+The loop here fixes all three:
 
-    scan k+1 times:  args' = optimization_barrier(args); out = fn(*args')
+  * the k iterations run ON DEVICE in one dispatch (lax.scan), with
+    `args` CLOSED OVER (device-resident constants — never carried, never
+    copied per iteration);
+  * iteration ordering is forced by a runtime-zero token derived from
+    the previous output through two separate optimization_barrier calls
+    (z = barrier(v) - barrier(v) is 0 at runtime but opaque to the
+    compiler), added into the first argument leaf — argument VALUES are
+    unchanged, so chained self-checks stay valid; `chain=True` instead
+    feeds the whole output into the first argument (shapes permitting) —
+    a plain data dependence;
+  * the reported rate is the SLOPE (t_scan - t_single) / k between the
+    scan program and a plain single dispatch of the same fn — every
+    fixed cost (enqueue, transport round-trip, output fetch) cancels,
+    with no trust placed in a separately measured RTT.
 
-The barrier defeats CSE/loop-invariant hoisting (without it XLA would
-collapse identical iterations into one) and serializes the iterations;
-`chain=True` additionally feeds each output into the next iteration's
-input — a data dependence that cannot be faked at any layer. Sync is a
-`device_get` of a small slice of the result (the only operation this
-transport is guaranteed to complete before returning), and the measured
-empty-dispatch round-trip is subtracted.
+Sync is a `device_get` of a small slice of every output leaf (the only
+operation this transport completes before returning).
 """
 
 from __future__ import annotations
@@ -50,58 +62,77 @@ def sync(out) -> None:
         np.asarray(jax.device_get(flat[:1]))
 
 
-def _rtt() -> float:
-    """Round-trip of a trivial dispatch + device_get (seconds, best of 5)."""
-    f = jax.jit(lambda v: v + 1)
-    probe = jnp.zeros((8,), jnp.uint32)
-    sync(f(probe))
+def _runtime_zero(out):
+    """A scalar that is 0 at runtime but opaque to the compiler:
+    b - barrier(b). The two operands are DIFFERENT graph nodes with
+    different inputs, so neither CSE (which would dedupe two identical
+    barrier(v) calls into one node and fold v - v to 0 — measured: it
+    does) nor algebraic simplification applies."""
+    leaf = jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1]
+    b1 = lax.optimization_barrier(leaf)
+    b2 = lax.optimization_barrier(b1)
+    return (b1 - b2).reshape(())
+
+
+def _inject(args, z):
+    """Add the runtime-zero token into the first array leaf of args —
+    values unchanged, but the compiler must order this iteration after
+    the token's producer."""
+    leaves, treedef = jax.tree_util.tree_flatten(tuple(args))
+    leaves = [leaves[0] + z.astype(leaves[0].dtype)] + leaves[1:]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _time_best(call, windows: int):
     best = float("inf")
-    for _ in range(5):
+    out = None
+    for _ in range(windows):
         t0 = time.perf_counter()
-        sync(f(probe))
+        out = call()
+        sync(out)
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best, out
 
 
 def device_loop(fn, args, k: int = 16, chain: bool = False,
                 windows: int = 3):
-    """Time `fn(*args)` with a (k+1)-iteration on-device loop.
+    """Time `fn(*args)` as the slope between 1 and k+1 on-device
+    iterations.
 
     fn: traceable; args: tuple of device arrays / pytrees. chain=True
     requires fn's output to match args[0] in structure (the output feeds
     the next iteration's first argument). Returns
-    (seconds_per_op, last_output, floored): floored=True means the whole
-    (k+1)-iteration window measured at or below the empty-dispatch RTT,
-    so seconds_per_op is a 1 ns/op FLOOR, not a measurement — callers
-    must flag such rows instead of deriving speedups from them.
+    (seconds_per_op, last_output, floored): floored=True means the scan
+    window did not measurably exceed the single dispatch, so
+    seconds_per_op is a 1 ns/op FLOOR, not a measurement — callers must
+    flag such rows instead of deriving speedups from them.
     """
+    args = tuple(args)
+    k_small = max(1, k // 8)
+    if k <= k_small:
+        k = k_small + 1
 
-    @jax.jit
-    def run(args):
-        def body(carry, _):
-            a, _prev = lax.optimization_barrier(carry)
-            out = fn(*a)
-            if chain:
-                a = (out,) + tuple(a[1:])
-            return (a, out), None
+    def make_scan(length):
+        @jax.jit
+        def run_scan(a):
+            def body(prev, _):
+                if chain:
+                    nxt = (prev,) + a[1:]
+                else:
+                    nxt = _inject(a, _runtime_zero(prev))
+                return fn(*nxt), None
 
-        init = (tuple(args), fn(*args))
-        (_, last), _ = lax.scan(body, init, None, length=k)
-        return last
+            last, _ = lax.scan(body, fn(*a), None, length=length)
+            return last
 
-    out = run(args)
-    sync(out)  # compile + warmup
-    rtt = _rtt()
-    best = float("inf")
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        out = run(args)
-        sync(out)
-        best = min(best, time.perf_counter() - t0)
-    # Floor PER-OP at 1ns: on a fast session a tiny program can measure
-    # below the empty-dispatch RTT (best - rtt <= 0); such a row is
-    # latency-floored, not actually free, and is flagged so callers
-    # don't publish a bogus speedup off it.
-    per_op = (best - rtt) / (k + 1)
+        return run_scan
+
+    run_small = make_scan(k_small)
+    run_big = make_scan(k)
+    sync(run_small(args))  # compile + warm
+    sync(run_big(args))
+    t_small, _ = _time_best(lambda: run_small(args), windows)
+    t_big, outk = _time_best(lambda: run_big(args), windows)
+    per_op = (t_big - t_small) / (k - k_small)
     floored = per_op <= 1e-9
-    return max(per_op, 1e-9), out, floored
+    return max(per_op, 1e-9), outk, floored

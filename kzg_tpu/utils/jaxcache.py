@@ -139,3 +139,28 @@ def enable_compilation_cache(subdir: str = "jax_cache") -> None:
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+@__import__("contextlib").contextmanager
+def no_cache_write():
+    """Disable the persistent compilation cache around one compile.
+
+    XLA's LoadedExecutable.serialize() SIGSEGVs (flakily, address-space
+    dependent: only once the process has compiled enough for a mapping
+    to land under the main stack's growth path) on the very large
+    subgroup-check ladder executable that decompress_g1_batch compiles —
+    observed twice killing the full CPU test suite at
+    tests/test_eth_setup_loader.py, never in a fresh process. Skipping
+    the cache write for just that program trades a per-process recompile
+    (the decompressed setup is disk-cached anyway, kzg/persist.py) for
+    not crashing the interpreter mid-suite.
+    """
+    import jax
+    from jax._src import config as _jconfig
+
+    prev = _jconfig.enable_compilation_cache.value
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)

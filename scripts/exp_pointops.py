@@ -80,7 +80,7 @@ def chain_kernel(body_fn, n_scratch=0):
 
 def time_chain(name, fn):
     def step(px, py, pz):
-        mod, npr, _, _ = pg._consts()
+        mod, npr = pg._consts()
         return fn(mod, npr, px, py, pz)
 
     sec, _, fl = device_loop(step, (pts.x.T, pts.y.T, pts.z.T), k=4,
@@ -175,7 +175,7 @@ def sqr_chain():
 
 for nm, k in (("mont_mul(x,x)", mul_chain()), ("mont_sqr", sqr_chain())):
     def step(x, k=k):
-        mod, npr, _, _ = pg._consts()
+        mod, npr = pg._consts()
         return k(mod, npr, x)
 
     sec, _, fl = device_loop(step, (pts.x.T,), k=4, chain=True)
