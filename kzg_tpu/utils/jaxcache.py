@@ -158,9 +158,18 @@ def no_cache_write():
     import jax
     from jax._src import config as _jconfig
 
-    prev = _jconfig.enable_compilation_cache.value
+    # NOTE: jax_enable_compilation_cache is NOT consulted per-compile —
+    # compilation_cache.is_cache_used() memoizes its verdict at the
+    # first compile of the process, so flipping it here is a no-op
+    # (observed: the suite still segfaulted in the cache write). The
+    # min-compile-time threshold IS read fresh inside _cache_write, so
+    # raising it above any real compile time suppresses exactly the
+    # write without touching reads or the memoized enablement.
+    prev = _jconfig.persistent_cache_min_compile_time_secs.value
     try:
-        jax.config.update("jax_enable_compilation_cache", False)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1e9)
         yield
     finally:
-        jax.config.update("jax_enable_compilation_cache", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev)
