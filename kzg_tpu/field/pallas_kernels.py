@@ -345,3 +345,168 @@ def butterfly_pallas(spec: FieldSpec, a, b, tw):
         _to_lanes(spec, tw, B))
     return (outa[:, :N].T.reshape(shape + (L,)),
             outb[:, :N].T.reshape(shape + (L,)))
+
+
+# ---------------------------------------------------------------------------
+# lazy FFT-stage kernels over Fr (the headline pipeline)
+#
+# The radix-2 stage loop in ntt/fft_fr.py runs each butterfly stage as
+# one of these kernels with the WHOLE array kept in lane layout and in
+# the LL = L+1-limb lazy domain between stages: no transposes and no
+# canonical reductions anywhere inside the pipeline.
+#
+# Domain trick: the FFT is linear, so the uniform factor introduced by
+# reinterpreting stored R-form values (a*2^(16L)) as R_ext-form values
+# (of a*2^-16) commutes with the whole transform — entering the lazy
+# domain is a PAD, not a multiply. Twiddles are host-encoded directly in
+# R_ext form, and the single exit multiply (by R_ext mod r, or by
+# inv_n * R_ext mod r for the inverse transform — the 1/n scale rides
+# along for free) restores values and canonicalizes.
+#
+# Bounds (r = Fr modulus, LL = 17, R_ext = 2^272, R_ext/r ~ 2^17):
+# stage outputs grow by < 3r per stage (hi = a + t with t < 1.01r fresh
+# from lazy_mul; lo = a - t + 2r), so after 15 stages values stay
+# < ~50r ~ 2^260.6 << 2^272, and every product (a < 50r) * (tw < r)
+# satisfies the REDC input bound 50r < R_ext.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _lazy_const_tiles_np(spec: FieldSpec):
+    """(modx, nprx, km2) host tiles at LL = n_limbs+1 rows: the modulus,
+    -m^-1 mod R_ext, and 2*m (the lazy_sub offset for subtrahends that
+    are fresh lazy_mul outputs)."""
+    LL = spec.n_limbs + 1
+    r_ext = 1 << (16 * LL)
+    m = spec.modulus
+
+    def limbs(v):
+        arr = np.array([(v >> (16 * i)) & 0xFFFF for i in range(LL)],
+                       dtype=np.uint32)
+        return np.broadcast_to(arr[:, None], (LL, LANES)).copy()
+
+    return (limbs(m), limbs((-pow(m, -1, r_ext)) % r_ext), limbs(2 * m))
+
+
+def encode_ext(spec: FieldSpec, ints) -> np.ndarray:
+    """R_ext-Montgomery-form limbs (..., LL) of python ints (host)."""
+    LL = spec.n_limbs + 1
+    r_ext = 1 << (16 * LL)
+    m = spec.modulus
+    single = not isinstance(ints, (list, tuple))
+    vals = [ints] if single else list(ints)
+    out = np.zeros((len(vals), LL), dtype=np.uint32)
+    for j, v in enumerate(vals):
+        ve = (int(v) * r_ext) % m
+        for i in range(LL):
+            out[j, i] = (ve >> (16 * i)) & 0xFFFF
+    return out[0] if single else out
+
+
+@functools.lru_cache(maxsize=None)
+def _butterfly_lazy_fn(spec: FieldSpec, first: bool, B: int, block: int,
+                       interpret: bool):
+    """One lazy FFT stage on lane-layout tiles:
+    (a, b, tw) -> (a + b*tw, a - b*tw), all (LL, B) lazy values.
+    first=True takes canonical (L, B) inputs (pad = domain entry) and
+    has NO twiddle operand: stage 1's twiddle is always 1, so the stage
+    is a mul-free add/sub."""
+    L = spec.n_limbs
+    LL = L + 1
+
+    def kernel(mod_ref, npr_ref, km_ref, *refs):
+        mod = mod_ref[:, :1]
+        npr = npr_ref[:, :1]
+        km = km_ref[:, :1]
+        if first:
+            a_ref, b_ref, hi_ref, lo_ref = refs
+            a = jnp.pad(a_ref[:], ((0, 1), (0, 0)))
+            t = jnp.pad(b_ref[:], ((0, 1), (0, 0)))
+        else:
+            a_ref, b_ref, tw_ref, hi_ref, lo_ref = refs
+            a = a_ref[:]
+            t = lazy_mul_tile(mod, npr, b_ref[:], tw_ref[:])
+        hi_ref[:] = lazy_add_tile(a, t)
+        lo_ref[:] = lazy_sub_tile(km, a, t)
+
+    in_rows = L if first else LL
+    bspec_in = pl.BlockSpec((in_rows, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    bspec_ext = pl.BlockSpec((LL, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    n_in = 2 if first else 3
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        in_specs=[_const_spec(LL)] * 3
+        + [bspec_in] * 2 + [bspec_ext] * (n_in - 2),
+        out_specs=(bspec_ext, bspec_ext),
+        out_shape=(jax.ShapeDtypeStruct((LL, B), U32),
+                   jax.ShapeDtypeStruct((LL, B), U32)),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _canon_scale_fn(spec: FieldSpec, B: int, block: int, interpret: bool):
+    """Exit kernel: x (LL, B) lazy * c (LL-row R_ext-form constant) ->
+    canonical (L, B). c = R_ext mod r restores values unchanged; any
+    extra factor (e.g. 1/n) is pre-multiplied into c on the host."""
+    L = spec.n_limbs
+    LL = L + 1
+
+    def kernel(mod_ref, npr_ref, c_ref, x_ref, out_ref):
+        mod = mod_ref[:, :1]
+        x = x_ref[:]
+        c = jnp.broadcast_to(c_ref[:, :1], x.shape)
+        out = lazy_canon_tile(
+            mod, lazy_mul_tile(mod, npr_ref[:, :1], x, c))
+        out_ref[:] = out[:L]
+
+    bspec_ext = pl.BlockSpec((LL, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    bspec_out = pl.BlockSpec((L, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        in_specs=[_const_spec(LL)] * 2
+        + [pl.BlockSpec((LL, LANES), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)]
+        + [bspec_ext],
+        out_specs=bspec_out,
+        out_shape=jax.ShapeDtypeStruct((L, B), U32),
+        interpret=interpret,
+    )
+
+
+def _lazy_consts(spec: FieldSpec):
+    modx, nprx, km2 = _lazy_const_tiles_np(spec)
+    return jnp.asarray(modx), jnp.asarray(nprx), jnp.asarray(km2)
+
+
+def _pow2_block(B: int) -> int:
+    """Largest power-of-two divisor of B, capped at DEFAULT_BLOCK."""
+    return min(DEFAULT_BLOCK, B & -B)
+
+
+def butterfly_lazy(spec: FieldSpec, a, b, tw, first: bool):
+    """Lane-layout lazy butterfly: a, b (L|LL, B); tw (LL, B) in R_ext
+    form (None when first — stage 1 is mul-free). Returns (hi, lo) as
+    (LL, B) lazy values."""
+    B = a.shape[1]
+    block = _pow2_block(B)
+    modx, nprx, km2 = _lazy_consts(spec)
+    fn = _butterfly_lazy_fn(spec, first, B, block, _interpret())
+    if first:
+        return fn(modx, nprx, km2, a, b)
+    return fn(modx, nprx, km2, a, b, tw)
+
+
+def canon_scale(spec: FieldSpec, x, c):
+    """Exit the lazy pipeline: x (LL, B) -> canonical (L, B), scaled by
+    the R_ext-form constant c (LL, LANES)-broadcastable."""
+    B = x.shape[1]
+    block = _pow2_block(B)
+    modx, nprx, _ = _lazy_consts(spec)
+    return _canon_scale_fn(spec, B, block, _interpret())(
+        modx, nprx, c, x)

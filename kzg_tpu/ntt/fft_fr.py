@@ -34,23 +34,97 @@ def take_strided(roots, count: int, stride: int):
     ]
 
 
+@functools.lru_cache(maxsize=None)
+def _stage_tws_ext(max_scale: int, n: int, batch: int, inverse: bool):
+    """Host-precomputed per-stage twiddle lane vectors in R_ext form for
+    the lazy Pallas FFT pipeline: stage s gets (LL, batch * n/2) — the
+    stage's half distinct twiddles tiled over (batch x groups) lanes.
+    Stage 1's twiddle is always 1 and is skipped (mul-free kernel).
+    Also returns the exit-scale constant tile: R_ext mod r (forward) or
+    inv_n * R_ext mod r (inverse) — the 1/n scale rides along for free.
+    """
+    from ..field.pallas_kernels import LANES, encode_ext
+    from .domain import FFTSettings
+
+    roots_int = FFTSettings(max_scale).roots_of_unity_int()
+    max_width = 1 << max_scale
+    roots = tuple(reversed(roots_int)) if inverse else roots_int
+    logn = n.bit_length() - 1
+    per_stage = []
+    for s in range(2, logn + 1):
+        m = 1 << s
+        half = m >> 1
+        stride = max_width // m
+        tws = encode_ext(fr.SPEC, [roots[j * stride] for j in range(half)])
+        lanes = np.tile(tws.T, (1, batch * (n // m)))  # (LL, batch*n/2)
+        per_stage.append(lanes.copy())
+    scale = 1 if not inverse else pow(n, -1, fr.SPEC.modulus)
+    c = encode_ext(fr.SPEC, scale)
+    c_tile = np.broadcast_to(
+        c[:, None], (c.shape[0], LANES)).copy()
+    return tuple(per_stage), c_tile
+
+
+def _fft_core_pallas(vals, inv_n_int_scale, max_width: int,
+                     inverse: bool):
+    """Lazy lane-layout FFT pipeline (field/pallas_kernels.py "lazy FFT
+    stage kernels"): the whole transform runs in the 17-limb lazy domain
+    with TWO relayouts total (entry/exit) and ZERO canonical reductions
+    between stages; the single exit multiply restores the domain,
+    canonicalizes, and carries the inverse transform's 1/n."""
+    from ..field.pallas_kernels import butterfly_lazy, canon_scale
+
+    n = vals.shape[-2]
+    batch_shape = vals.shape[:-2]
+    batch = 1
+    for d in batch_shape:
+        batch *= d
+    logn = n.bit_length() - 1
+    per_stage, c_tile = _stage_tws_ext(
+        max_width.bit_length() - 1, n, batch, inverse)
+
+    x = brp_permute(vals, axis=-2)
+    # entry relayout: (..., n, L) -> (L, batch*n) lane layout
+    xl = jnp.moveaxis(x.reshape(batch * n, fr.N_LIMBS), -1, 0)
+
+    for s in range(1, logn + 1):
+        m = 1 << s
+        half = m >> 1
+        rows = xl.shape[0]
+        xs = xl.reshape(rows, batch * (n // m), m)
+        a = xs[:, :, :half].reshape(rows, batch * n // 2)
+        b = xs[:, :, half:].reshape(rows, batch * n // 2)
+        tw = None if s == 1 else jnp.asarray(per_stage[s - 2])
+        hi, lo = butterfly_lazy(fr.SPEC, a, b, tw, first=(s == 1))
+        rows = hi.shape[0]
+        xl = jnp.concatenate(
+            [hi.reshape(rows, batch * (n // m), half),
+             lo.reshape(rows, batch * (n // m), half)],
+            axis=-1,
+        ).reshape(rows, batch * n)
+
+    out = canon_scale(fr.SPEC, xl, jnp.asarray(c_tile))
+    # exit relayout: (L, batch*n) -> (..., n, L)
+    return jnp.moveaxis(out, 0, -1).reshape(batch_shape + (n, fr.N_LIMBS))
+
+
 @functools.partial(jax.jit, static_argnames=("max_width",))
 def _fft_core(vals, roots, inv_n, max_width: int):
     """vals: uint32[..., n, 16] (n static from shape). roots: forward or
     reverse table. inv_n: None (forward) or Montgomery limbs of 1/n.
 
-    With the "pallas" field backend each stage runs as one fused
-    butterfly kernel (t = b*tw; a+t; a-t with all REDC intermediates
-    VMEM-resident — field/pallas_kernels.py); the XLA layer only slices
-    and re-concatenates the halves. The vector path composes fr.mul/
-    add/sub as plain XLA ops.
+    With the "pallas" field backend the whole transform runs as the
+    lane-layout lazy stage pipeline (_fft_core_pallas); the vector path
+    composes fr.mul/add/sub as plain XLA ops per stage.
     """
     from ..field.backend import field_backend
 
     n = vals.shape[-2]
     if n == 1:
         return vals if inv_n is None else fr.mul(vals, inv_n)
-    use_pallas = field_backend() == "pallas"
+    if field_backend() == "pallas":
+        return _fft_core_pallas(
+            vals, None, max_width, inverse=inv_n is not None)
     x = brp_permute(vals, axis=-2)
     logn = n.bit_length() - 1
     batch = vals.shape[:-2]
@@ -62,13 +136,8 @@ def _fft_core(vals, roots, inv_n, max_width: int):
         x = x.reshape(batch + (n // m, m, fr.N_LIMBS))
         a = x[..., :half, :]
         b = x[..., half:, :]
-        if use_pallas:
-            from ..field.pallas_kernels import butterfly_pallas
-
-            hi, lo = butterfly_pallas(fr.SPEC, a, b, tw)
-        else:
-            t = fr.mul(b, tw)
-            hi, lo = fr.add(a, t), fr.sub(a, t)
+        t = fr.mul(b, tw)
+        hi, lo = fr.add(a, t), fr.sub(a, t)
         x = jnp.concatenate([hi, lo], axis=-2)
     x = x.reshape(batch + (n, fr.N_LIMBS))
     if inv_n is not None:

@@ -84,14 +84,16 @@ def _inject(args, z):
 
 
 def _time_best(call, windows: int):
-    best = float("inf")
+    """(best, spread, out): best-of-N wall time and the max-min spread
+    (the session's dispatch jitter estimate)."""
+    times = []
     out = None
     for _ in range(windows):
         t0 = time.perf_counter()
         out = call()
         sync(out)
-        best = min(best, time.perf_counter() - t0)
-    return best, out
+        times.append(time.perf_counter() - t0)
+    return min(times), max(times) - min(times), out
 
 
 def device_loop(fn, args, k: int = 16, chain: bool = False,
@@ -128,11 +130,26 @@ def device_loop(fn, args, k: int = 16, chain: bool = False,
         return run_scan
 
     run_small = make_scan(k_small)
-    run_big = make_scan(k)
     sync(run_small(args))  # compile + warm
-    sync(run_big(args))
-    t_small, _ = _time_best(lambda: run_small(args), windows)
-    t_big, outk = _time_best(lambda: run_big(args), windows)
-    per_op = (t_big - t_small) / (k - k_small)
-    floored = per_op <= 1e-9
+    t_small, j_small, _ = _time_best(lambda: run_small(args), windows)
+
+    # Escalate the long scan until its extra compute clears the
+    # session's dispatch jitter: a slope smaller than the window spread
+    # is noise, not a measurement (sessions here jitter by ~±1 ms on a
+    # ~90 ms fixed dispatch cost — a 16-iteration scan of a 50 us
+    # program would read as zero).
+    while True:
+        run_big = make_scan(k)
+        outk = run_big(args)
+        sync(outk)
+        t_big, j_big, _ = _time_best(lambda: run_big(args), windows)
+        slope_total = t_big - t_small
+        jitter = max(j_small, j_big)
+        resolvable = slope_total > max(5 * jitter, 0.02 * t_big)
+        if resolvable or k >= 4096 or t_big > 3.0:
+            break
+        k *= 4
+
+    per_op = slope_total / (k - k_small)
+    floored = per_op <= 1e-9 or not resolvable
     return max(per_op, 1e-9), outk, floored

@@ -123,10 +123,28 @@ def _pin_cpu_isa() -> None:
 
 
 def enable_compilation_cache(subdir: str = "jax_cache") -> None:
+    """Enable the persistent XLA compilation cache — on TPU.
+
+    On the CPU backend the cache is DISABLED by default (opt back in
+    with KZG_TPU_CPU_CACHE=1): XLA:CPU's AOT executable (de)serializers
+    SIGSEGV flakily on this machine's large field-ladder programs —
+    observed killing three full test-suite runs, twice in
+    LoadedExecutable.serialize() (cache write) and once in
+    deserialize_executable (cache read of a prior run's entry), always
+    mid-suite and never in a fresh process. A crashing suite is worse
+    than a cold one; the CPU tiers compensate by keeping compile-heavy
+    cases in the heavy tier."""
     import jax
 
     pinned = _pin_cpu_isa()
     raise_stack_limit()
+
+    try:
+        on_cpu = jax.default_backend() == "cpu"
+    except Exception:
+        on_cpu = False
+    if on_cpu and os.environ.get("KZG_TPU_CPU_CACHE") != "1":
+        return
 
     root = os.environ.get(
         "KZG_TPU_CACHE",
