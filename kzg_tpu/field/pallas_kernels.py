@@ -44,11 +44,16 @@ DEFAULT_BLOCK = 512  # lanes per grid step
 # tile math: (K, W) uint32 arrays, limb axis 0 (sublanes), batch axis 1 (lanes)
 # ---------------------------------------------------------------------------
 
+def _pad0(x, lo: int, hi: int):
+    """Pad only axis 0 (limb axis), any rank."""
+    return jnp.pad(x, ((lo, hi),) + ((0, 0),) * (x.ndim - 1))
+
+
 def _shift_up(x, d: int):
     """Rows move d positions toward higher limb index; top rows drop."""
     if d >= x.shape[0]:
         return jnp.zeros_like(x)
-    return jnp.pad(x, ((d, 0), (0, 0)))[: x.shape[0]]
+    return _pad0(x, d, 0)[: x.shape[0]]
 
 
 def _carry_fold(cols):
@@ -90,22 +95,18 @@ def _product_cols(a, b, out_limbs: int):
     carry-save lo/hi halves; each column accumulates <= 2L values < 2^16
     so entries stay < 2^21. Static slice-adds only."""
     L = a.shape[0]
-    W = a.shape[1]
-    acc = jnp.zeros((out_limbs, W), dtype=U32)
+    acc = jnp.zeros((out_limbs,) + a.shape[1:], dtype=U32)
     for i in range(L):
-        p = a[i][None, :] * b  # (L, W), exact in uint32
+        p = a[i][None] * b  # (L, ...), exact in uint32
         # pad-and-add accumulation (`.at[slice].add` would lower to a
         # scatter, which Pallas rejects / Mosaic handles poorly)
         lo_n = min(L, out_limbs - i)
         if lo_n > 0:
-            acc = acc + jnp.pad(
-                p[:lo_n] & LIMB_MASK,
-                ((i, out_limbs - i - lo_n), (0, 0)))
+            acc = acc + _pad0(p[:lo_n] & LIMB_MASK, i, out_limbs - i - lo_n)
         hi_n = min(L, out_limbs - i - 1)
         if hi_n > 0:
-            acc = acc + jnp.pad(
-                p[:hi_n] >> LIMB_BITS,
-                ((i + 1, out_limbs - i - 1 - hi_n), (0, 0)))
+            acc = acc + _pad0(
+                p[:hi_n] >> LIMB_BITS, i + 1, out_limbs - i - 1 - hi_n)
     return acc
 
 

@@ -123,6 +123,12 @@ def _fft_core(vals, roots, inv_n, max_width: int):
     if n == 1:
         return vals if inv_n is None else fr.mul(vals, inv_n)
     if field_backend() == "pallas":
+        # NOTE: a fully-fused four-step (n1 x n2) two-kernel variant was
+        # built and measured on-chip (round 4): bit-exact, but SLOWER
+        # than this per-stage pipeline (237 us vs 108 us at scale 12,
+        # tied at scale 15) — the per-stage kernels are already
+        # mul-bound, so killing the inter-stage HBM traffic bought
+        # nothing. Removed; see git history (kzg_tpu/ntt/pallas_fft.py).
         return _fft_core_pallas(
             vals, None, max_width, inverse=inv_n is not None)
     x = brp_permute(vals, axis=-2)

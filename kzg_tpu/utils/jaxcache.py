@@ -80,9 +80,16 @@ def raise_stack_limit() -> None:
     import resource
 
     soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
-    if soft != hard:
+    # A FINITE large limit beats unlimited: glibc sizes NEW pthread
+    # stacks from the soft limit only when it is finite (unlimited
+    # falls back to the 8MB default), and XLA compiles on worker
+    # threads created after this point.
+    want = 1 << 30  # 1 GiB
+    if hard != resource.RLIM_INFINITY:
+        want = min(want, hard)
+    if soft == resource.RLIM_INFINITY or soft < want:
         try:
-            resource.setrlimit(resource.RLIMIT_STACK, (hard, hard))
+            resource.setrlimit(resource.RLIMIT_STACK, (want, hard))
         except (ValueError, OSError):
             pass
 
@@ -123,27 +130,22 @@ def _pin_cpu_isa() -> None:
 
 
 def enable_compilation_cache(subdir: str = "jax_cache") -> None:
-    """Enable the persistent XLA compilation cache — on TPU.
+    """Enable the persistent XLA compilation cache.
 
-    On the CPU backend the cache is DISABLED by default (opt back in
-    with KZG_TPU_CPU_CACHE=1): XLA:CPU's AOT executable (de)serializers
-    SIGSEGV flakily on this machine's large field-ladder programs —
-    observed killing three full test-suite runs, twice in
-    LoadedExecutable.serialize() (cache write) and once in
-    deserialize_executable (cache read of a prior run's entry), always
-    mid-suite and never in a fresh process. A crashing suite is worse
-    than a cold one; the CPU tiers compensate by keeping compile-heavy
-    cases in the heavy tier."""
+    KZG_TPU_CPU_CACHE=0 disables it (any backend). Long-lived CPU
+    processes on this machine flakily SIGSEGV inside XLA:CPU — in
+    executable serialize (cache write), deserialize (cache read), AND
+    plain compilation with the cache fully disabled — always ~40 tests
+    into a full suite run and never in a fresh process (cumulative
+    address-space state). The cache is NOT the culprit, so it stays on;
+    the mitigation is process isolation: run the CPU suite via
+    scripts/run_tests.py (one process per test file)."""
     import jax
 
     pinned = _pin_cpu_isa()
     raise_stack_limit()
 
-    try:
-        on_cpu = jax.default_backend() == "cpu"
-    except Exception:
-        on_cpu = False
-    if on_cpu and os.environ.get("KZG_TPU_CPU_CACHE") != "1":
+    if os.environ.get("KZG_TPU_CPU_CACHE") == "0":
         return
 
     root = os.environ.get(
