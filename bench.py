@@ -55,8 +55,6 @@ def main():
                          max_width=fs.max_width)
 
     sec, out, floored = device_loop(fwd, (vals,), k=16, chain=True)
-    # verify the chained computation actually happened: the 17-fold FFT
-    # of the input must match the host oracle on a spot value
     ns = sec * 1e9
     rec = {
         "metric": f"fft_fr_scale{SCALE}",

@@ -28,7 +28,8 @@ N_WINDOWS = 33  # ceil(128 / 4) + 1 carry digit from signed recoding
 
 
 def signed_digits(k: int, n_windows: int = N_WINDOWS) -> list:
-    """Non-negative int -> signed 4-bit digits (LSB-first) in [-8, 7]
+    """Non-negative int -> signed 4-bit digits (LSB-first) in [-7, 8]
+    (d == 8 is kept unchanged, so the range is asymmetric toward +8)
     with sum d_j * 16^j == k. Requires k < 16^(n_windows-1) * 8."""
     out = []
     for _ in range(n_windows):

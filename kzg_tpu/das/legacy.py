@@ -101,22 +101,23 @@ def p_of_kx(coeffs, k_mont):
 
 @functools.partial(jax.jit, static_argnames=("max_width",))
 def _legacy_recover_core(samples, missing_mask, z_coeffs, k_mont,
-                         k_inv_mont, roots, rev_roots, inv_n,
+                         k_inv_mont, roots, rev_roots,
                          max_width: int):
     """One compiled dispatch: the legacy pipeline given Z's coefficients.
 
     Returns (recovered evals, shifted-Z evals) — the caller inspects the
     latter for zeros to decide on a retry (legacy_recovery.go:243-254)."""
+    inv_log2 = samples.shape[0].bit_length() - 1
     z_evals = _fft_core(z_coeffs, roots, None, max_width=max_width)
     e_vals = fr.select(missing_mask, fr.zeros(samples.shape[:-1]), samples)
     e_vals = fr.mul(e_vals, z_evals)
-    d_poly = _fft_core(e_vals, rev_roots, inv_n, max_width=max_width)
+    d_poly = _fft_core(e_vals, rev_roots, inv_log2, max_width=max_width)
     q1_evals = _fft_core(p_of_kx(d_poly, k_mont), roots, None,
                          max_width=max_width)
     q2_evals = _fft_core(p_of_kx(z_coeffs, k_mont), roots, None,
                          max_width=max_width)
     qs = fr.mul(q1_evals, batch_inv(q2_evals))
-    d_over_z = _fft_core(qs, rev_roots, inv_n, max_width=max_width)
+    d_over_z = _fft_core(qs, rev_roots, inv_log2, max_width=max_width)
     p_coeffs = p_of_kx(d_over_z, k_inv_mont)
     recovered = _fft_core(p_coeffs, roots, None, max_width=max_width)
     return recovered, q2_evals
@@ -148,7 +149,7 @@ def erasure_code_recover(fs: FFTSettings, samples, missing_indices,
             jnp.asarray(fr.from_int(k)),
             jnp.asarray(fr.from_int(pow(k, -1, FR_MODULUS))),
             fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
-            fs.inv_length(n), max_width=fs.max_width,
+            max_width=fs.max_width,
         )
         if bool(jnp.any(fr.is_zero(q2))):
             continue  # bad shift, retry with new k

@@ -41,13 +41,14 @@ SHIFT_FACTOR = 5  # reference: recover_from_samples.go:9 (shiftFactor)
 
 @functools.partial(jax.jit, static_argnames=("max_width",))
 def _recover_core(samples, missing_mask, zero_eval, zero_coeffs,
-                  shift_mont, shift_inv_mont, roots, rev_roots, inv_n,
+                  shift_mont, shift_inv_mont, roots, rev_roots,
                   max_width: int):
     """The whole shift-divide-unshift pipeline as one compiled dispatch."""
     n = samples.shape[0]
+    inv_log2 = n.bit_length() - 1
     masked = fr.select(missing_mask, fr.zeros((n,)), samples)
     pz_evals = fr.mul(masked, zero_eval)
-    pz = _fft_core(pz_evals, rev_roots, inv_n, max_width=max_width)
+    pz = _fft_core(pz_evals, rev_roots, inv_log2, max_width=max_width)
     scale = poly.powers_of(shift_mont, n)
     scale_inv = poly.powers_of(shift_inv_mont, n)
     eval_pz = _fft_core(fr.mul(pz, scale), roots, None, max_width=max_width)
@@ -57,7 +58,7 @@ def _recover_core(samples, missing_mask, zero_eval, zero_coeffs,
     # root of Z, i.e. the shift factor inside the domain subgroup, which
     # recover_poly_from_samples rejects up front.
     eval_p = fr.mul(eval_pz, fr.batch_inv(eval_z))
-    shifted_p = _fft_core(eval_p, rev_roots, inv_n, max_width=max_width)
+    shifted_p = _fft_core(eval_p, rev_roots, inv_log2, max_width=max_width)
     p_coeffs = fr.mul(shifted_p, scale_inv)
     recovered = _fft_core(p_coeffs, roots, None, max_width=max_width)
     return recovered, eval_z
@@ -88,12 +89,12 @@ def _recover_fused_fn(G: int, n: int, max_width: int):
 
     @jax.jit
     def run(root_idx, valid, samples, missing_mask, shift_mont,
-            shift_inv_mont, roots, rev_roots, invs, inv_n):
+            shift_inv_mont, roots, rev_roots):
         zero_eval, zero_coeffs = zero_poly_graph(
-            root_idx, valid, roots, rev_roots, invs, n, max_width)
+            root_idx, valid, roots, rev_roots, n, max_width)
         recovered, _ = _recover_core(
             samples, missing_mask, zero_eval, zero_coeffs, shift_mont,
-            shift_inv_mont, roots, rev_roots, inv_n, max_width=max_width)
+            shift_inv_mont, roots, rev_roots, max_width=max_width)
         # reference self-check (recover_from_samples.go:103-107)
         ok = jnp.all(fr.eq(recovered, samples) | missing_mask)
         return recovered, ok
@@ -113,7 +114,7 @@ def _recover_with_shift(fs: FFTSettings, samples, missing_idx, n: int,
         jnp.asarray(fr.from_int(shift)),
         jnp.asarray(fr.from_int(pow(shift, -1, FR_MODULUS))),
         fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
-        fs.inv_length(n), max_width=fs.max_width,
+        max_width=fs.max_width,
     )
 
 
@@ -146,7 +147,7 @@ def recover_poly_from_samples(fs: FFTSettings, samples, missing_indices):
     if n > fs.max_width:
         raise ValueError("width larger than domain")
     stride = fs.max_width // n
-    idx, valid_np, invs, G = leaf_layout(fs, missing, n, stride)
+    idx, valid_np, G = leaf_layout(fs, missing, n, stride)
     mask = np.zeros(n, dtype=bool)
     mask[missing] = True
     run = _recover_fused_fn(G, n, fs.max_width)
@@ -155,7 +156,6 @@ def recover_poly_from_samples(fs: FFTSettings, samples, missing_indices):
         jnp.asarray(fr.from_int(SHIFT_FACTOR)),
         jnp.asarray(fr.from_int(pow(SHIFT_FACTOR, -1, FR_MODULUS))),
         fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
-        invs, fs.inv_length(n),
     )
     if not bool(ok):
         raise ValueError("recovery self-check failed: inconsistent samples")

@@ -51,7 +51,7 @@ def _build_leaves(neg_roots, valid):
     return poly
 
 
-def _reduce_level(polys, roots, rev_roots, inv_t, max_width: int,
+def _reduce_level(polys, roots, rev_roots, max_width: int,
                   target: int):
     """One tree level: convolve adjacent pairs via FFT at width `target`.
     polys: (cnt, width, 16) -> (cnt/2, target, 16)."""
@@ -61,10 +61,11 @@ def _reduce_level(polys, roots, rev_roots, inv_t, max_width: int,
                    max_width=max_width)
     fb = _fft_core(jnp.pad(polys[1::2], pad), roots, None,
                    max_width=max_width)
-    return _fft_core(fr.mul(fa, fb), rev_roots, inv_t, max_width=max_width)
+    return _fft_core(fr.mul(fa, fb), rev_roots, target.bit_length() - 1,
+                     max_width=max_width)
 
 
-def zero_poly_graph(root_idx, valid, roots, rev_roots, invs,
+def zero_poly_graph(root_idx, valid, roots, rev_roots,
                     length: int, max_width: int):
     """Traceable leaf build + product tree + final forward FFT. Shared
     by the standalone jit below and by pipelines that fuse the zero
@@ -73,12 +74,10 @@ def zero_poly_graph(root_idx, valid, roots, rev_roots, invs,
         root_idx.shape + (fr.N_LIMBS,))
     neg_roots = fr.neg(gathered)
     polys = _build_leaves(neg_roots, valid)
-    i = 0
     while polys.shape[0] > 1:
         target = min(2 * polys.shape[1], length)
-        polys = _reduce_level(polys, roots, rev_roots, invs[i],
+        polys = _reduce_level(polys, roots, rev_roots,
                               max_width=max_width, target=target)
-        i += 1
     zpoly = polys[0]
     if zpoly.shape[0] < length:
         zpoly = jnp.pad(zpoly, [(0, length - zpoly.shape[0]), (0, 0)])
@@ -95,8 +94,8 @@ def _zero_poly_fn(G: int, length: int, max_width: int):
     compiled function per (leaf count, length)."""
 
     @jax.jit
-    def run(root_idx, valid, roots, rev_roots, invs):
-        return zero_poly_graph(root_idx, valid, roots, rev_roots, invs,
+    def run(root_idx, valid, roots, rev_roots):
+        return zero_poly_graph(root_idx, valid, roots, rev_roots,
                                length, max_width)
 
     return run
@@ -131,11 +130,11 @@ def zero_poly_via_multiplication(fs: FFTSettings, missing_indices, length: int):
 
         return fft(fs, coeffs), coeffs
 
-    idx, valid_np, invs, G = leaf_layout(fs, missing, length, stride)
+    idx, valid_np, G = leaf_layout(fs, missing, length, stride)
     run = _zero_poly_fn(G, length, fs.max_width)
     return run(
         idx, valid_np,
-        fs.expanded_roots_of_unity, fs.reverse_roots_of_unity, invs,
+        fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
     )
 
 
@@ -143,8 +142,8 @@ def leaf_layout(fs: FFTSettings, missing: np.ndarray, length: int,
                 stride: int):
     """Host-side leaf packing: group missing-root factors into leaves of
     LEAF_FACTORS, pad the leaf count to a power of two (identity leaves
-    via the validity mask), and collect the per-level 1/target constants.
-    Returns (idx (G, S) int32, valid (G, S) bool, invs tuple, G)."""
+    via the validity mask).
+    Returns (idx (G, S) int32, valid (G, S) bool, G)."""
     m = missing.shape[0]
     G = 1 << (max((m + LEAF_FACTORS - 1) // LEAF_FACTORS, 1) - 1).bit_length()
     S = LEAF_FACTORS
@@ -154,11 +153,4 @@ def leaf_layout(fs: FFTSettings, missing: np.ndarray, length: int,
     flat_pos = np.arange(m) % S
     idx[flat_leaf, flat_pos] = (missing * stride).astype(np.int32)
     valid_np[flat_leaf, flat_pos] = True
-
-    invs, width, cnt = [], LEAF_WIDTH, G
-    while cnt > 1:
-        target = min(2 * width, length)
-        invs.append(fs.inv_length(target))
-        width = target
-        cnt //= 2
-    return idx, valid_np, tuple(invs), G
+    return idx, valid_np, G

@@ -30,10 +30,11 @@ from .fft_fr import _fft_core, take_strided
 
 
 @functools.partial(jax.jit, static_argnames=("max_width", "interleave"))
-def _das_core(evens, roots, rev_roots, inv_n, max_width: int,
+def _das_core(evens, roots, rev_roots, max_width: int,
               interleave: bool):
     n = evens.shape[-2]
-    coeffs = _fft_core(evens, rev_roots, inv_n, max_width=max_width)
+    coeffs = _fft_core(evens, rev_roots, n.bit_length() - 1,
+                       max_width=max_width)
     stride = max_width // (2 * n)
     coset = take_strided(roots, n, stride)
     odds = _fft_core(fr.mul(coeffs, coset), roots, None, max_width=max_width)
@@ -50,7 +51,7 @@ def das_fft_extension(fs: FFTSettings, evens):
         raise ValueError("domain too small for extending requested values")
     return _das_core(
         evens, fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
-        fs.inv_length(n), max_width=fs.max_width, interleave=False,
+        max_width=fs.max_width, interleave=False,
     )
 
 
@@ -61,5 +62,5 @@ def das_extend_interleaved(fs: FFTSettings, evens):
         raise ValueError("domain too small for extending requested values")
     return _das_core(
         evens, fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
-        fs.inv_length(n), max_width=fs.max_width, interleave=True,
+        max_width=fs.max_width, interleave=True,
     )

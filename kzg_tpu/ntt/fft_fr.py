@@ -35,13 +35,16 @@ def take_strided(roots, count: int, stride: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_tws_ext(max_scale: int, n: int, batch: int, inverse: bool):
-    """Host-precomputed per-stage twiddle lane vectors in R_ext form for
-    the lazy Pallas FFT pipeline: stage s gets (LL, batch * n/2) — the
-    stage's half distinct twiddles tiled over (batch x groups) lanes.
+def _stage_tws_ext(max_scale: int, n: int, inverse: bool, inv_log2):
+    """Host-precomputed per-stage twiddle vectors in R_ext form for
+    the lazy Pallas FFT pipeline: stage s gets the COMPACT (LL, half)
+    distinct twiddles (device-broadcast to the full lane vector).
     Stage 1's twiddle is always 1 and is skipped (mul-free kernel).
     Also returns the exit-scale constant tile: R_ext mod r (forward) or
-    inv_n * R_ext mod r (inverse) — the 1/n scale rides along for free.
+    2^-inv_log2 * R_ext mod r (inverse) — the caller's inverse scale
+    rides along for free. inv_log2 is the CALLER's scale (a sharded
+    local IFFT of length n/D passes the global log2(n), so it must not
+    be re-derived from the local shape here).
     """
     from ..field.pallas_kernels import LANES, encode_ext
     from .domain import FFTSettings
@@ -56,24 +59,26 @@ def _stage_tws_ext(max_scale: int, n: int, batch: int, inverse: bool):
         half = m >> 1
         stride = max_width // m
         tws = encode_ext(fr.SPEC, [roots[j * stride] for j in range(half)])
-        lanes = np.tile(tws.T, (1, batch * (n // m)))  # (LL, batch*n/2)
-        per_stage.append(lanes.copy())
-    scale = 1 if not inverse else pow(n, -1, fr.SPEC.modulus)
+        # COMPACT (LL, half): tiled to the full (LL, batch*n/2) lane
+        # vector on DEVICE (a cheap broadcast) — host-tiling these was
+        # ~677 MB of baked-in constants at scale 20
+        per_stage.append(tws.T.copy())
+    scale = 1 if not inverse else pow(1 << inv_log2, -1, fr.SPEC.modulus)
     c = encode_ext(fr.SPEC, scale)
     c_tile = np.broadcast_to(
         c[:, None], (c.shape[0], LANES)).copy()
     return tuple(per_stage), c_tile
 
 
-def _fft_core_pallas(vals, inv_n_int_scale, max_width: int,
-                     inverse: bool):
+def _fft_core_pallas(vals, inv_log2, max_width: int):
     """Lazy lane-layout FFT pipeline (field/pallas_kernels.py "lazy FFT
     stage kernels"): the whole transform runs in the 17-limb lazy domain
     with TWO relayouts total (entry/exit) and ZERO canonical reductions
     between stages; the single exit multiply restores the domain,
-    canonicalizes, and carries the inverse transform's 1/n."""
+    canonicalizes, and carries the inverse transform's scale."""
     from ..field.pallas_kernels import butterfly_lazy, canon_scale
 
+    inverse = inv_log2 is not None
     n = vals.shape[-2]
     batch_shape = vals.shape[:-2]
     batch = 1
@@ -81,7 +86,7 @@ def _fft_core_pallas(vals, inv_n_int_scale, max_width: int,
         batch *= d
     logn = n.bit_length() - 1
     per_stage, c_tile = _stage_tws_ext(
-        max_width.bit_length() - 1, n, batch, inverse)
+        max_width.bit_length() - 1, n, inverse, inv_log2)
 
     x = brp_permute(vals, axis=-2)
     # entry relayout: (..., n, L) -> (L, batch*n) lane layout
@@ -94,7 +99,14 @@ def _fft_core_pallas(vals, inv_n_int_scale, max_width: int,
         xs = xl.reshape(rows, batch * (n // m), m)
         a = xs[:, :, :half].reshape(rows, batch * n // 2)
         b = xs[:, :, half:].reshape(rows, batch * n // 2)
-        tw = None if s == 1 else jnp.asarray(per_stage[s - 2])
+        if s == 1:
+            tw = None
+        else:
+            compact = jnp.asarray(per_stage[s - 2])  # (LL, half)
+            tw = jnp.broadcast_to(
+                compact[:, None, :],
+                (compact.shape[0], batch * (n // m), half),
+            ).reshape(compact.shape[0], batch * n // 2)
         hi, lo = butterfly_lazy(fr.SPEC, a, b, tw, first=(s == 1))
         rows = hi.shape[0]
         xl = jnp.concatenate(
@@ -108,10 +120,15 @@ def _fft_core_pallas(vals, inv_n_int_scale, max_width: int,
     return jnp.moveaxis(out, 0, -1).reshape(batch_shape + (n, fr.N_LIMBS))
 
 
-@functools.partial(jax.jit, static_argnames=("max_width",))
-def _fft_core(vals, roots, inv_n, max_width: int):
+@functools.partial(jax.jit, static_argnames=("inv_log2", "max_width"))
+def _fft_core(vals, roots, inv_log2, max_width: int):
     """vals: uint32[..., n, 16] (n static from shape). roots: forward or
-    reverse table. inv_n: None (forward) or Montgomery limbs of 1/n.
+    reverse table. inv_log2: None (forward) or the STATIC log2 of the
+    inverse transform's scale denominator (the output is multiplied by
+    2^-inv_log2 mod r). Every scale in the library is 1/2^k — a plain
+    IFFT passes log2(n); a sharded local IFFT passes the GLOBAL log2(n)
+    while transforming a length-n/D block, which is why the scale is an
+    explicit parameter and never derived from the input shape.
 
     With the "pallas" field backend the whole transform runs as the
     lane-layout lazy stage pipeline (_fft_core_pallas); the vector path
@@ -119,9 +136,13 @@ def _fft_core(vals, roots, inv_n, max_width: int):
     """
     from ..field.backend import field_backend
 
+    def inv_limbs():
+        return jnp.asarray(
+            fr.from_int(pow(1 << inv_log2, -1, fr.SPEC.modulus)))
+
     n = vals.shape[-2]
     if n == 1:
-        return vals if inv_n is None else fr.mul(vals, inv_n)
+        return vals if inv_log2 is None else fr.mul(vals, inv_limbs())
     if field_backend() == "pallas":
         # NOTE: a fully-fused four-step (n1 x n2) two-kernel variant was
         # built and measured on-chip (round 4): bit-exact, but SLOWER
@@ -129,8 +150,7 @@ def _fft_core(vals, roots, inv_n, max_width: int):
         # tied at scale 15) — the per-stage kernels are already
         # mul-bound, so killing the inter-stage HBM traffic bought
         # nothing. Removed; see git history (kzg_tpu/ntt/pallas_fft.py).
-        return _fft_core_pallas(
-            vals, None, max_width, inverse=inv_n is not None)
+        return _fft_core_pallas(vals, inv_log2, max_width)
     x = brp_permute(vals, axis=-2)
     logn = n.bit_length() - 1
     batch = vals.shape[:-2]
@@ -146,8 +166,8 @@ def _fft_core(vals, roots, inv_n, max_width: int):
         hi, lo = fr.add(a, t), fr.sub(a, t)
         x = jnp.concatenate([hi, lo], axis=-2)
     x = x.reshape(batch + (n, fr.N_LIMBS))
-    if inv_n is not None:
-        x = fr.mul(x, inv_n)
+    if inv_log2 is not None:
+        x = fr.mul(x, inv_limbs())
     return x
 
 
@@ -170,7 +190,7 @@ def fft(fs: FFTSettings, vals, inverse: bool = False):
         return _fft_core(
             vals,
             fs.reverse_roots_of_unity,
-            fs.inv_length(n2),
+            n2.bit_length() - 1,
             max_width=fs.max_width,
         )
     return _fft_core(
