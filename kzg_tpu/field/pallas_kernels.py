@@ -191,6 +191,76 @@ def lazy_mul_tile(modx, nprx, a, b):
     return s[LL:]
 
 
+# ---------------------------------------------------------------------------
+# MXU-assisted REDC (round-5, scripts/exp_mxu_mul.py)
+#
+# Of REDC's three product passes, two are by GLOBAL constants (t_lo * n'
+# and q * m) — and a by-constant limb product is a small matmul: split
+# the variable operand's 16-bit limb rows into lo/hi byte planes (pure
+# elementwise), multiply by the constant's byte-plane Toeplitz matrices
+# on the MXU (bf16 x bf16 -> f32 is EXACT here: entries < 2^8, products
+# < 2^16, column sums < 25*2^16 < 2^21 < 2^24), recombine with shifts.
+# Bit-identical to the VPU product loop by construction; measured
+# 1.10-1.36x on the full mont-mul kernel (W = 16k..131k lanes) with the
+# dots overlapping the VPU passes.
+# ---------------------------------------------------------------------------
+
+
+def toeplitz16_bytes(c: int, in_limbs: int, out_limbs: int):
+    """Byte planes of the 16-bit-limb Toeplitz matrix of constant c:
+    (T_lo, T_hi) float32 (out_limbs, in_limbs), T_lo[k, i] =
+    c16[k-i] & 0xFF, T_hi[k, i] = c16[k-i] >> 8. For x with byte planes
+    ev = x & 0xFF, od = x >> 8:
+        x*c cols = T_lo@ev + ((T_hi@ev + T_lo@od) << 8)
+                   + shift_up(T_hi@od, 1)   (all exact, < 2^30)."""
+    c16 = [(c >> (16 * j)) & 0xFFFF for j in range(out_limbs)]
+    lo = np.zeros((out_limbs, in_limbs), dtype=np.float32)
+    hi = np.zeros((out_limbs, in_limbs), dtype=np.float32)
+    for k in range(out_limbs):
+        for i in range(in_limbs):
+            j = k - i
+            if 0 <= j < out_limbs:
+                lo[k, i] = c16[j] & 0xFF
+                hi[k, i] = c16[j] >> 8
+    return lo, hi
+
+
+def mxu_const_cols(tlo, thi, x16):
+    """In-kernel by-constant product via 4 byte-plane MXU dots.
+    tlo/thi: (out, L_in) bf16 refsliced tiles; x16: (L_in, W) canonical
+    16-bit rows. Returns (out, W) uint32 redundant columns (< 2^30)."""
+
+    def bf(v):
+        return v.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    ev = bf(x16 & 0xFF)
+    od = bf(x16 >> 8)
+
+    def dot(t, d):
+        r = jax.lax.dot_general(
+            t, d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return r.astype(jnp.int32).astype(jnp.uint32)
+
+    a = dot(tlo, ev)
+    b = dot(thi, ev) + dot(tlo, od)
+    d = dot(thi, od)
+    return a + (b << 8) + _shift_up(d, 1)
+
+
+def lazy_mul_tile_mxu(modx, nprx, mxc, a, b):
+    """lazy_mul_tile with the two by-constant REDC passes on the MXU.
+    mxc = (np_lo, np_hi, m_lo, m_hi) in-kernel matrix tiles
+    (np: (LL, LL), m: (2LL, LL)). Bit-identical to lazy_mul_tile."""
+    LL = a.shape[0]
+    np_lo, np_hi, m_lo, m_hi = mxc
+    t = _carry_fold(_product_cols(a, b, 2 * LL))
+    q = _carry_fold(mxu_const_cols(np_lo, np_hi, t[:LL]))
+    qm = _carry_fold(mxu_const_cols(m_lo, m_hi, q))
+    s = _carry_fold(t + qm)
+    return s[LL:]
+
+
 def lazy_add_tile(a, b):
     """a + b with carry folding only — the bound is the caller's to track."""
     return _carry_fold(a + b)
@@ -371,6 +441,33 @@ def butterfly_pallas(spec: FieldSpec, a, b, tw):
 # satisfies the REDC input bound 50r < R_ext.
 # ---------------------------------------------------------------------------
 
+def _mxu_enabled() -> bool:
+    """MXU-assisted REDC in the lazy FFT kernels (KZG_TPU_MXU=0 to
+    disable; bit-identical either way, see lazy_mul_tile_mxu)."""
+    import os
+
+    return os.environ.get("KZG_TPU_MXU", "1") != "0"
+
+
+@functools.lru_cache(maxsize=None)
+def _lazy_mxu_tiles_np(spec: FieldSpec):
+    """(np_lo, np_hi, m_lo, m_hi) byte-plane Toeplitz matrices for the
+    LL-limb lazy domain, host float32 (cast to bf16 at the wrapper)."""
+    LL = spec.n_limbs + 1
+    r_ext = 1 << (16 * LL)
+    m = spec.modulus
+    nprime = (-pow(m, -1, r_ext)) % r_ext
+    np_lo, np_hi = toeplitz16_bytes(nprime, LL, LL)
+    m_lo, m_hi = toeplitz16_bytes(m, LL, 2 * LL)
+    return np_lo, np_hi, m_lo, m_hi
+
+
+def _lazy_mxu_tiles(spec: FieldSpec):
+    return tuple(
+        jnp.asarray(t).astype(jnp.bfloat16)
+        for t in _lazy_mxu_tiles_np(spec))
+
+
 @functools.lru_cache(maxsize=None)
 def _lazy_const_tiles_np(spec: FieldSpec):
     """(modx, nprx, km2) host tiles at LL = n_limbs+1 rows: the modulus,
@@ -403,21 +500,36 @@ def encode_ext(spec: FieldSpec, ints) -> np.ndarray:
     return out[0] if single else out
 
 
+def _mxu_specs(LL: int):
+    """Block specs for the four byte-plane matrix operands."""
+
+    def full(rows, cols):
+        return pl.BlockSpec((rows, cols), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return [full(LL, LL), full(LL, LL), full(2 * LL, LL), full(2 * LL, LL)]
+
+
 @functools.lru_cache(maxsize=None)
 def _butterfly_lazy_fn(spec: FieldSpec, first: bool, B: int, block: int,
-                       interpret: bool):
+                       interpret: bool, mxu: bool):
     """One lazy FFT stage on lane-layout tiles:
     (a, b, tw) -> (a + b*tw, a - b*tw), all (LL, B) lazy values.
     first=True takes canonical (L, B) inputs (pad = domain entry) and
     has NO twiddle operand: stage 1's twiddle is always 1, so the stage
-    is a mul-free add/sub."""
+    is a mul-free add/sub. mxu=True routes the twiddle REDC's constant
+    passes over the matrix unit (bit-identical)."""
     L = spec.n_limbs
     LL = L + 1
+    use_mxu = mxu and not first
 
     def kernel(mod_ref, npr_ref, km_ref, *refs):
         mod = mod_ref[:, :1]
         npr = npr_ref[:, :1]
         km = km_ref[:, :1]
+        if use_mxu:
+            mxc = tuple(r[:] for r in refs[:4])
+            refs = refs[4:]
         if first:
             a_ref, b_ref, hi_ref, lo_ref = refs
             a = jnp.pad(a_ref[:], ((0, 1), (0, 0)))
@@ -425,7 +537,10 @@ def _butterfly_lazy_fn(spec: FieldSpec, first: bool, B: int, block: int,
         else:
             a_ref, b_ref, tw_ref, hi_ref, lo_ref = refs
             a = a_ref[:]
-            t = lazy_mul_tile(mod, npr, b_ref[:], tw_ref[:])
+            if use_mxu:
+                t = lazy_mul_tile_mxu(mod, npr, mxc, b_ref[:], tw_ref[:])
+            else:
+                t = lazy_mul_tile(mod, npr, b_ref[:], tw_ref[:])
         hi_ref[:] = lazy_add_tile(a, t)
         lo_ref[:] = lazy_sub_tile(km, a, t)
 
@@ -439,6 +554,7 @@ def _butterfly_lazy_fn(spec: FieldSpec, first: bool, B: int, block: int,
         kernel,
         grid=(B // block,),
         in_specs=[_const_spec(LL)] * 3
+        + (_mxu_specs(LL) if use_mxu else [])
         + [bspec_in] * 2 + [bspec_ext] * (n_in - 2),
         out_specs=(bspec_ext, bspec_ext),
         out_shape=(jax.ShapeDtypeStruct((LL, B), U32),
@@ -448,20 +564,28 @@ def _butterfly_lazy_fn(spec: FieldSpec, first: bool, B: int, block: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _canon_scale_fn(spec: FieldSpec, B: int, block: int, interpret: bool):
+def _canon_scale_fn(spec: FieldSpec, B: int, block: int, interpret: bool,
+                    mxu: bool):
     """Exit kernel: x (LL, B) lazy * c (LL-row R_ext-form constant) ->
     canonical (L, B). c = R_ext mod r restores values unchanged; any
     extra factor (e.g. 1/n) is pre-multiplied into c on the host."""
     L = spec.n_limbs
     LL = L + 1
 
-    def kernel(mod_ref, npr_ref, c_ref, x_ref, out_ref):
+    def kernel(mod_ref, npr_ref, *refs):
         mod = mod_ref[:, :1]
+        if mxu:
+            mxc = tuple(r[:] for r in refs[:4])
+            c_ref, x_ref, out_ref = refs[4:]
+        else:
+            c_ref, x_ref, out_ref = refs
         x = x_ref[:]
         c = jnp.broadcast_to(c_ref[:, :1], x.shape)
-        out = lazy_canon_tile(
-            mod, lazy_mul_tile(mod, npr_ref[:, :1], x, c))
-        out_ref[:] = out[:L]
+        if mxu:
+            prod = lazy_mul_tile_mxu(mod, npr_ref[:, :1], mxc, x, c)
+        else:
+            prod = lazy_mul_tile(mod, npr_ref[:, :1], x, c)
+        out_ref[:] = lazy_canon_tile(mod, prod)[:L]
 
     bspec_ext = pl.BlockSpec((LL, block), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
@@ -471,6 +595,7 @@ def _canon_scale_fn(spec: FieldSpec, B: int, block: int, interpret: bool):
         kernel,
         grid=(B // block,),
         in_specs=[_const_spec(LL)] * 2
+        + (_mxu_specs(LL) if mxu else [])
         + [pl.BlockSpec((LL, LANES), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)]
         + [bspec_ext],
@@ -497,10 +622,12 @@ def butterfly_lazy(spec: FieldSpec, a, b, tw, first: bool):
     B = a.shape[1]
     block = _pow2_block(B)
     modx, nprx, km2 = _lazy_consts(spec)
-    fn = _butterfly_lazy_fn(spec, first, B, block, _interpret())
+    mxu = _mxu_enabled() and not first
+    fn = _butterfly_lazy_fn(spec, first, B, block, _interpret(), mxu)
+    mxc = _lazy_mxu_tiles(spec) if mxu else ()
     if first:
         return fn(modx, nprx, km2, a, b)
-    return fn(modx, nprx, km2, a, b, tw)
+    return fn(modx, nprx, km2, *mxc, a, b, tw)
 
 
 def canon_scale(spec: FieldSpec, x, c):
@@ -509,5 +636,7 @@ def canon_scale(spec: FieldSpec, x, c):
     B = x.shape[1]
     block = _pow2_block(B)
     modx, nprx, _ = _lazy_consts(spec)
-    return _canon_scale_fn(spec, B, block, _interpret())(
-        modx, nprx, c, x)
+    mxu = _mxu_enabled()
+    mxc = _lazy_mxu_tiles(spec) if mxu else ()
+    return _canon_scale_fn(spec, B, block, _interpret(), mxu)(
+        modx, nprx, *mxc, c, x)
