@@ -1,20 +1,34 @@
 """Full benchmark suite, mirroring the reference's scale-parameterized
 Go benchmarks (BENCH.md / BASELINE.md). Prints one JSON line per metric:
-  {"metric": ..., "value": ns/op, "unit": "ns/op", "vs_baseline": speedup}
+  {"metric": ..., "value": ns/op, "unit": "ns/op", "vs_baseline": speedup,
+   "mul_bound_pct": ...}
 vs_baseline compares against the reference's fastest backend on its
 5950X CPU (BASELINE.md); > 1 means this framework is faster.
 
+Baseline provenance per row:
+  * measured  — a BENCH.md row exists (scales 4..15)
+  * extrapolated — no BENCH.md row (reference benches stop at 2^15);
+    scaled n*log2(n) from the backend's scale-15 row, marked in "note"
+  * derived — no reference benchmark exists at all (FK20 proofs/sec,
+    commit MSM); composed from BENCH.md component rates with the
+    formula stated in the "note" (VERDICT r4 items 2 and 5)
+
+mul_bound_pct is the speed-of-light column (VERDICT r4 item 6): counted
+field multiplies (utils/mulcount.py) x the session's measured per-mul
+kernel rate, divided by the measured row time. 100% = the op costs
+exactly its multiplies; lower = adds/selects/layout/dispatch overhead.
+
 Methodology (round-3 correction, see utils/benchloop.py): every row is
 timed with an ON-DEVICE loop (lax.scan + optimization_barrier, outputs
-chained into inputs where shapes allow) and a device_get sync. The
-round-1/2 artifacts are invalid — this transport's block_until_ready
-returns at enqueue-ack, so those runs measured the tunnel, not the chip.
-All inputs are canonical field elements entering through the real byte
-path; inputs are staged to device before timing.
+chained into inputs where shapes allow) and a device_get sync; the
+reported rate is the slope between two scan lengths, cancelling all
+fixed transport costs. All inputs are canonical field elements entering
+through the real byte path; inputs are staged to device before timing.
 
 Usage: python bench_all.py [--quick] [--heavy]
   --quick: small scales only (CI smoke)
-  --heavy: adds the G1-FFT scale-12/15 and commit benchmarks
+  --heavy: adds scales 18/20 (Fr rows), the G1-FFT scale-12/15,
+           commit/MSM, and FK20 proofs/sec benchmarks
 """
 
 import argparse
@@ -22,7 +36,7 @@ import json
 
 import numpy as np
 
-# BASELINE.md numbers (ns/op): fastest backend per row.
+# BENCH.md numbers (ns/op): fastest backend per row (measured rows).
 BASELINES = {
     "fft_fr": {4: 3991, 8: 87280, 12: 1911871, 15: 15442864},
     "fft_g1": {4: 1900117, 8: 57022201, 12: 1379302210, 15: 13513868449},
@@ -31,8 +45,47 @@ BASELINES = {
     "zero_poly": {8: 564170, 12: 18257011, 15: 172534656},
 }
 
+# Reference component rates used by the derived baselines:
+#   Herumi (C++ mcl, the reference's fastest G1 backend) per-MulG1 cost
+#   from its G1-FFT rows: 13.514 s / (2^15/2 * 15) butterflies and
+#   1.379 s / (2^12/2 * 12) — both ~55-56 us/MulG1.
+HERUMI_MULG1_NS = 55_000
+#   Kilic (fastest Fr backend) per-element-stage FFT cost: 15.44 ms /
+#   (2^15 * 15) = ~31.4 ns per butterfly-element at scale 15.
+KILIC_FR_BUTTERFLY_NS = 15_442_864 / ((1 << 15) / 2 * 15)
 
-def emit(metric, ns, baseline_ns=None, note=None, floored=False):
+
+def extrapolated_baseline(kind: str, s: int) -> float:
+    """n*log2(n) extrapolation from the scale-15 measured row (the
+    reference's own scaling in 12 -> 15 is n log n to within 3%)."""
+    base = BASELINES[kind][15]
+    return base * ((1 << s) * s) / ((1 << 15) * 15)
+
+
+def derived_fk20_baseline_ns(n: int, l: int) -> float:
+    """Reference DAUsingFK20Multi cost composed from component rates
+    (VERDICT r4 item 2; call stack SURVEY §3.2): l*2k MulG1 in
+    ToeplitzPart2 + two G1 FFTs of 2k (k*log2(2k) butterflies each) at
+    the Herumi MulG1 rate, plus l Fr FFTs of 2k at the Kilic rate."""
+    k = n // l
+    g1_muls = l * 2 * k + 2 * (k * ((2 * k).bit_length() - 1))
+    fr_cost = l * (k * ((2 * k).bit_length() - 1)) * KILIC_FR_BUTTERFLY_NS
+    return g1_muls * HERUMI_MULG1_NS + fr_cost
+
+
+def derived_msm_baseline_ns(n: int) -> float:
+    """Reference commit (Pippenger MultiExp, commit_bench_test.go:12-36
+    — no published BENCH.md row): window width c ~ log2(n), point adds
+    ~ (256/c) * (n + 2^c), at the Herumi per-point-op rate (~1/380 of a
+    MulG1: 256 doublings + ~124 adds per ladder)."""
+    c = max(4, n.bit_length() - 1)
+    adds = (256 // c + 1) * (n + (1 << c))
+    per_add_ns = HERUMI_MULG1_NS / 380
+    return adds * per_add_ns
+
+
+def emit(metric, ns, baseline_ns=None, note=None, floored=False,
+         mul_bound_pct=None, extra=None):
     rec = {"metric": metric, "value": round(ns), "unit": "ns/op"}
     if floored:
         # the whole timing window hid under the transport round-trip:
@@ -43,6 +96,10 @@ def emit(metric, ns, baseline_ns=None, note=None, floored=False):
             rec["vs_baseline"] = round(baseline_ns / ns, 3)
         if note:
             rec["note"] = note
+        if mul_bound_pct is not None:
+            rec["mul_bound_pct"] = round(mul_bound_pct, 1)
+    if extra:
+        rec.update(extra)
     print(json.dumps(rec), flush=True)
 
 
@@ -65,6 +122,52 @@ def rand_fr_canonical(n, rng):
     return arr
 
 
+def measure_mul_rates(rng):
+    """Session per-mul kernel rates (ns per mul-lane): the Fr (16-limb)
+    and Fp (24-limb) Montgomery-multiply Pallas kernels timed at the
+    tile level (lane layout, no boundary transposes), 2^15 lanes.
+
+    The live pipelines run the 17/25-limb LAZY variants of the same
+    product loop — measured equal to the canonical kernels on-chip
+    (BENCH_TPU.md round-4 note: 24-limb mont_mul == 25-limb lazy mul),
+    so these rates are the speed-of-light denominators.
+    """
+    import jax.numpy as jnp
+
+    from kzg_tpu.field import fp, fr
+    from kzg_tpu.field.pallas_kernels import (
+        _const_tiles, _interpret, _mul_fn)
+    from kzg_tpu.utils.benchloop import device_loop
+
+    rates = {}
+    for name, spec, mod_name in (("fr", fr.SPEC, "fr"), ("fp", fp.SPEC, "fp")):
+        L = spec.n_limbs
+        B = 1 << 15
+        block = 512
+        a = jnp.asarray(
+            np.random.default_rng(3).integers(
+                0, 1 << 16, size=(L, B)).astype(np.uint32))
+        mod, npr = _const_tiles(spec)
+        fn = _mul_fn(spec, B, block, _interpret())
+
+        def mul(x, fn=fn, mod=mod, npr=npr, a=a):
+            return fn(mod, npr, x, a)
+
+        sec, _, fl = device_loop(mul, (a,), k=256, chain=True)
+        rates[name] = None if fl else sec * 1e9 / B
+        emit(f"mul_rate_{name}", sec * 1e9 / B, floored=fl,
+             note=f"{L}-limb mont-mul kernel, ns per mul-lane")
+    return rates
+
+
+def sol(rates, field, muls, measured_ns):
+    """mul_bound_pct: counted muls x per-mul rate / measured time."""
+    r = rates.get(field)
+    if r is None or measured_ns <= 0:
+        return None
+    return 100.0 * (muls * r) / measured_ns
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -81,13 +184,18 @@ def main():
     from kzg_tpu.ntt import FFTSettings, fft
     from kzg_tpu.ntt.das import _das_core
     from kzg_tpu.ntt.fft_fr import _fft_core
+    from kzg_tpu.utils import mulcount
     from kzg_tpu.utils.benchloop import device_loop
     from kzg_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
 
     rng = np.random.default_rng(0)
+    rates = measure_mul_rates(rng)
+
     fr_scales = [8, 12] if args.quick else [8, 12, 15]
+    if args.heavy:
+        fr_scales += [18, 20]
 
     # ---- FFT over Fr (chained: out feeds next input) ----
     for s in fr_scales:
@@ -100,51 +208,75 @@ def main():
 
         sec, _, fl = device_loop(fwd, (vals,), k=64 if s <= 8 else 16,
                                  chain=True)
-        emit(f"fft_fr_scale{s}", sec * 1e9, BASELINES["fft_fr"].get(s),
-             floored=fl)
+        base = BASELINES["fft_fr"].get(s)
+        note = None
+        if base is None and s > 15:
+            base = extrapolated_baseline("fft_fr", s)
+            note = "reference extrapolated n*log2(n) from scale 15"
+        emit(f"fft_fr_scale{s}", sec * 1e9, base, note=note, floored=fl,
+             mul_bound_pct=sol(rates, "fr", mulcount.fft_fr(1 << s),
+                               sec * 1e9))
 
     # ---- DAS extension (chained: n -> n) ----
-    for s in fr_scales:
+    das_scales = list(fr_scales)
+    if args.heavy:
+        # cap at 19: extending 2^19 evens fills the 2^20 domain
+        das_scales = [s for s in das_scales if s <= 18] + [19]
+    for s in das_scales:
         fs = FFTSettings(s + 1)
         vals = rand_fr_canonical(1 << s, rng)
 
         def ext(v, fs=fs, s=s):
             return _das_core(
                 v, fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
-                fs.inv_length(1 << s), max_width=fs.max_width,
-                interleave=False)
+                max_width=fs.max_width, interleave=False)
 
         sec, _, fl = device_loop(ext, (vals,), k=64 if s <= 8 else 16,
                                  chain=True)
-        emit(f"das_extension_scale{s}", sec * 1e9,
-             BASELINES["das_extension"].get(s), floored=fl)
+        base = BASELINES["das_extension"].get(s)
+        note = None
+        if base is None and s > 15:
+            base = extrapolated_baseline("das_extension", s)
+            note = "reference extrapolated n*log2(n) from scale 15"
+        emit(f"das_extension_scale{s}", sec * 1e9, base, note=note,
+             floored=fl,
+             mul_bound_pct=sol(rates, "fr",
+                               mulcount.das_extension(1 << s), sec * 1e9))
 
     # ---- zero poly (half missing; device-staged leaf layout) ----
-    for s in fr_scales:
-        fs = FFTSettings(s + 1)
+    zp_scales = [s for s in fr_scales if s <= 15] + (
+        [18, 20] if args.heavy else [])
+    for s in zp_scales:
+        fs = FFTSettings(s + 1) if s < 20 else FFTSettings(20)
         n = 1 << s
         missing = np.sort(rng.choice(n, size=n // 2, replace=False))
-        idx, valid, invs, G = leaf_layout(
+        idx, valid, G = leaf_layout(
             fs, missing.astype(np.int64), n, fs.max_width // n)
         zp_graph = _zero_poly_fn(G, n, fs.max_width)
         argsd = (jax.device_put(idx), jax.device_put(valid),
-                 fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
-                 invs)
+                 fs.expanded_roots_of_unity, fs.reverse_roots_of_unity)
         sec, _, fl = device_loop(zp_graph, argsd, k=8)
-        emit(f"zero_poly_scale{s}", sec * 1e9, BASELINES["zero_poly"].get(s),
-             floored=fl)
+        base = BASELINES["zero_poly"].get(s)
+        note = None
+        if base is None and s > 15:
+            base = extrapolated_baseline("zero_poly", s)
+            note = "reference extrapolated n*log2(n) from scale 15"
+        emit(f"zero_poly_scale{s}", sec * 1e9, base, note=note, floored=fl,
+             mul_bound_pct=sol(rates, "fr", mulcount.zero_poly(G, n),
+                               sec * 1e9))
 
     # ---- recovery (half missing; the fused single-dispatch pipeline,
     # self-check included in-graph) ----
-    for s in fr_scales:
-        fs = FFTSettings(s + 1)
+    rec_scales = zp_scales
+    for s in rec_scales:
+        fs = FFTSettings(s + 1) if s < 20 else FFTSettings(20)
         n = 1 << s
         half = rand_fr_canonical(n // 2, rng)
         coeffs = jnp.concatenate(
             [half, jnp.zeros_like(half)], axis=0)  # deg < n/2: recoverable
         evals = fft(fs, coeffs)
         missing = np.sort(rng.choice(n, size=n // 2, replace=False))
-        idx, valid, invs, G = leaf_layout(
+        idx, valid, G = leaf_layout(
             fs, missing.astype(np.int64), n, fs.max_width // n)
         mask = np.zeros(n, dtype=bool)
         mask[missing] = True
@@ -156,14 +288,19 @@ def main():
             jnp.asarray(fr.from_int(shift)),
             jnp.asarray(fr.from_int(pow(shift, -1, FR_MODULUS))),
             fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
-            invs, fs.inv_length(n),
         )
         sec, out, fl = device_loop(run, argsd, k=8)
         recovered, ok = out
         assert bool(np.asarray(jax.device_get(ok))), "recovery failed"
         assert bool(jnp.all(fr.eq(recovered, evals))), "recovery mismatch"
-        emit(f"recover_scale{s}", sec * 1e9, BASELINES["recover"].get(s),
-             floored=fl)
+        base = BASELINES["recover"].get(s)
+        note = None
+        if base is None and s > 15:
+            base = extrapolated_baseline("recover", s)
+            note = "reference extrapolated n*log2(n) from scale 15"
+        emit(f"recover_scale{s}", sec * 1e9, base, note=note, floored=fl,
+             mul_bound_pct=sol(rates, "fr", mulcount.recover(G, n),
+                               sec * 1e9))
 
     # ---- G1 FFT (chained: points feed the next iteration) ----
     from kzg_tpu.curve import g1
@@ -181,18 +318,53 @@ def main():
 
         sec, _, fl = device_loop(g1fwd, (pts,), k=4, chain=True)
         emit(f"fft_g1_scale{s}", sec * 1e9, BASELINES["fft_g1"].get(s),
-             floored=fl)
+             floored=fl,
+             mul_bound_pct=sol(rates, "fp", mulcount.fft_g1(n), sec * 1e9))
 
     # ---- commit (MSM) ----
     if args.heavy:
         from kzg_tpu.curve.msm import lin_comb_g1
 
-        n = 1 << 12
-        base = g1.mul(g1.generator((n,)), rand_fr_canonical(n, rng))
-        sc = rand_fr_canonical(n, rng)
-        sec, _, fl = device_loop(lin_comb_g1, (base, sc), k=4)
-        emit("commit_msm_scale12", sec * 1e9, None,  # no BENCH.md row
-             floored=fl)
+        for s in (12, 15):
+            n = 1 << s
+            base_pts = g1.mul(g1.generator((n,)), rand_fr_canonical(n, rng))
+            sc = rand_fr_canonical(n, rng)
+            sec, _, fl = device_loop(lin_comb_g1, (base_pts, sc), k=4)
+            emit(f"commit_msm_scale{s}", sec * 1e9,
+                 derived_msm_baseline_ns(n),
+                 note="reference derived: Pippenger adds x Herumi point-op"
+                      " rate (no BENCH.md row, commit_bench_test.go:12-36)",
+                 floored=fl,
+                 mul_bound_pct=sol(rates, "fp", mulcount.msm(n), sec * 1e9))
+
+    # ---- FK20 multi DA: the flagship production path (proofs/sec) ----
+    if args.heavy:
+        from kzg_tpu.fk20.multi import FK20MultiSettings
+        from kzg_tpu.kzg.setup import bench_kzg_settings
+
+        for label, n2, l in (("eth", 8192, 16), ("scale16", 1 << 16, 16)):
+            n = n2 // 2
+            ks = bench_kzg_settings(n)
+            fks = FK20MultiSettings(ks, n2, l)
+            poly = rand_fr_canonical(n, rng)
+
+            def da(p, fks=fks):
+                return fks.da_using_fk20_multi(p)
+
+            sec, _, fl = device_loop(da, (poly,), k=4)
+            counts = mulcount.fk20_multi_da(n, l)
+            base = derived_fk20_baseline_ns(n, l)
+            proofs = counts["proofs"]
+            emit(
+                f"fk20_multi_da_{label}", sec * 1e9, base,
+                note=f"n={n} l={l}: {proofs} coset proofs; reference "
+                     "derived: l*2k MulG1 + 2 G1-FFT(2k) at Herumi rate "
+                     "+ l Fr-FFT(2k) at Kilic rate (no reference bench)",
+                floored=fl,
+                mul_bound_pct=sol(rates, "fp", counts["fp"], sec * 1e9),
+                extra={"proofs_per_sec": round(proofs / sec, 1)}
+                if not fl else None,
+            )
 
 
 if __name__ == "__main__":

@@ -82,6 +82,30 @@ def generate_testing_setup_ints(secret: int, n: int):
     return s1, s2
 
 
+def bench_kzg_settings(n: int, secret: int = 1927409816240961209460912649124):
+    """Proof-generation-only KZGSettings with an n-point G1 CRS built by
+    ONE batched device scalar-mul (seconds at 2^15, vs minutes for the
+    host loop). The G2 side is a placeholder: FK20/commit benchmarks
+    never touch it (verification paths need generate_testing_setup).
+    """
+    import jax.numpy as jnp
+
+    from ..curve import g1 as g1mod
+    from ..field import fr
+    from ..ntt.domain import FFTSettings
+    from .settings import KZGSettings
+
+    secret %= FR_MODULUS
+    powers, p = [], 1
+    for _ in range(n):
+        powers.append(p)
+        p = p * secret % FR_MODULUS
+    pts = g1mod.mul(
+        g1mod.generator((n,)), jnp.asarray(fr.from_int(powers)))
+    fs = FFTSettings((2 * n - 1).bit_length())
+    return KZGSettings(fs, pts, [None] * n)
+
+
 def generate_testing_setup(secret: int, n: int):
     """-> (G1 device JacobianPoint batch (n,), G2 device batch (n,),
     host affine lists). The device batches feed commit/FK20; the host lists
