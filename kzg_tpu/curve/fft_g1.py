@@ -42,46 +42,81 @@ def _take_points(p: JacobianPoint, idx, axis=0) -> JacobianPoint:
     return JacobianPoint(*(jnp.take(c, idx, axis=axis) for c in p))
 
 
+@functools.lru_cache(maxsize=None)
+def _stage_plan(n: int, max_width: int):
+    """Host-precomputed uniform per-stage schedules so the whole stage
+    loop is ONE lax.scan whose body traces a single G1 butterfly pass —
+    the previous unrolled form compiled log2(n) full scalar-mul bodies,
+    which blew XLA:CPU compiles into tens of minutes for the sharded
+    programs (round-5).
+
+    Returns (idx_a, idx_b, tw_idx, inv_perm) int32 arrays of shapes
+    (logn, n/2) x3 and (logn, n): stage s pairs lanes idx_a/idx_b with
+    the root-table row tw_idx, and inv_perm scatters [lo; hi] back."""
+    logn = n.bit_length() - 1
+    idx_a = np.empty((logn, n // 2), dtype=np.int32)
+    idx_b = np.empty((logn, n // 2), dtype=np.int32)
+    tw_idx = np.empty((logn, n // 2), dtype=np.int32)
+    inv_perm = np.empty((logn, n), dtype=np.int32)
+    for s in range(1, logn + 1):
+        m = 1 << s
+        half = m >> 1
+        stride = max_width // m
+        k = 0
+        for g in range(n // m):
+            for j in range(half):
+                idx_a[s - 1, k] = g * m + j
+                idx_b[s - 1, k] = g * m + j + half
+                tw_idx[s - 1, k] = j * stride
+                inv_perm[s - 1, g * m + j] = k
+                inv_perm[s - 1, g * m + j + half] = k + n // 2
+                k += 1
+    return (idx_a, idx_b, tw_idx, inv_perm)
+
+
 @functools.partial(jax.jit, static_argnames=("max_width",))
 def _fft_g1_core(px, py, pz, roots, inv_n, max_width: int):
+    from jax import lax
+
     n = px.shape[0]
     pts = JacobianPoint(px, py, pz)
     if n > 1:
         pts = JacobianPoint(*(brp_permute(c, axis=0) for c in pts))
-        logn = n.bit_length() - 1
-        for s in range(1, logn + 1):
-            m = 1 << s
-            half = m >> 1
-            stride = max_width // m
-            tw = take_strided(roots, half, stride)  # (half, 16) Fr twiddles
-            resh = JacobianPoint(
-                *(c.reshape((n // m, m) + c.shape[1:]) for c in pts)
-            )
-            a = JacobianPoint(*(c[:, :half] for c in resh))
-            b = JacobianPoint(*(c[:, half:] for c in resh))
-            t = g1.mul(b, tw)  # broadcast twiddles over the n//m axis
+        idx_a, idx_b, tw_idx, inv_perm = (
+            jnp.asarray(t) for t in _stage_plan(n, max_width))
+
+        def stage(carry, sched):
+            ia, ib, ti, ip = sched
+            a = _take_points(carry, ia)
+            b = _take_points(carry, ib)
+            tw = jnp.take(roots, ti, axis=0)
+            t = g1.mul(b, tw)
             lo = g1.add(a, t)
             hi = g1.sub(a, t)
-            pts = JacobianPoint(
-                *(
-                    jnp.concatenate([l, h], axis=1).reshape((n,) + l.shape[2:])
-                    for l, h in zip(lo, hi)
-                )
-            )
+            merged = JacobianPoint(*(
+                jnp.take(jnp.concatenate([l, h], axis=0), ip, axis=0)
+                for l, h in zip(lo, hi)))
+            return merged, None
+
+        pts, _ = lax.scan(stage, pts, (idx_a, idx_b, tw_idx, inv_perm))
     if inv_n is not None:
         pts = g1.mul(pts, inv_n)
     return pts
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_digits(max_scale: int, n: int, inverse: bool):
+def _stage_digits(max_scale: int, n: int, inverse: bool, inv_scale):
     """Host-precomputed GLV digit tables for every stage of a width-n
-    (I)FFT on the 2^max_scale domain, plus the 1/n post-scale digits.
+    (I)FFT on the 2^max_scale domain, plus the post-scale digits.
+
+    inv_scale: the CALLER's inverse-transform scale as a host int (None
+    for the forward direction) — a sharded local IFFT of length n/D
+    passes the global 1/n, so it is never derived from n here.
 
     Returns (per_stage, inv_digits): per_stage[s-1] = (d1, d2) int32
     arrays of shape (n/2, 33) covering the flattened (n/m groups x half)
     butterfly lanes of stage s; inv_digits = (d1, d2) of shape (1, 33)
-    for the inverse-FFT scale, or None for the forward direction.
+    for the scale, or None.
     """
     from . import glv
 
@@ -99,17 +134,18 @@ def _stage_digits(max_scale: int, n: int, inverse: bool):
         groups = n // m
         per_stage.append((np.tile(d1, (groups, 1)), np.tile(d2, (groups, 1))))
     inv_digits = None
-    if inverse:
-        inv_n = pow(n, -1, fr.SPEC.modulus)
-        inv_digits = glv.twiddle_digits([inv_n])
+    if inv_scale is not None:
+        inv_digits = glv.twiddle_digits([inv_scale % fr.SPEC.modulus])
     return tuple(per_stage), inv_digits
 
 
-@functools.partial(jax.jit, static_argnames=("max_scale", "n", "inverse"))
-def _fft_g1_pallas(px, py, pz, max_scale: int, n: int, inverse: bool):
+@functools.partial(
+    jax.jit, static_argnames=("max_scale", "n", "inverse", "inv_scale"))
+def _fft_g1_pallas(px, py, pz, max_scale: int, n: int, inverse: bool,
+                   inv_scale=None):
     from .pallas_g1 import butterfly_glv_pallas
 
-    per_stage, inv_digits = _stage_digits(max_scale, n, inverse)
+    per_stage, inv_digits = _stage_digits(max_scale, n, inverse, inv_scale)
     pts = JacobianPoint(px, py, pz)
     pts = JacobianPoint(*(brp_permute(c, axis=0) for c in pts))
     logn = n.bit_length() - 1
@@ -148,9 +184,20 @@ def _fft_g1_pallas(px, py, pz, max_scale: int, n: int, inverse: bool):
     return pts
 
 
-def fft_g1(fs: FFTSettings, points: JacobianPoint, inverse: bool = False):
+def fft_g1(fs: FFTSettings, points: JacobianPoint, inverse: bool = False,
+           in_subgroup: bool = True):
     """(I)FFT of a (n,) G1 point batch. n must be a power of two
-    <= fs.max_width (the reference errors likewise, fft_g1.go:62-68)."""
+    <= fs.max_width (the reference errors likewise, fft_g1.go:62-68).
+
+    PRECONDITION: with in_subgroup=True (the default) the points must
+    lie in the r-torsion subgroup — the fused GLV engine relies on
+    phi(P) == lambda*P, which only holds there. Every point this
+    library produces (CRS, commitments, proofs) and every point
+    deserialized with the default subgroup check qualifies. For raw
+    curve points of unknown order (e.g. decompressed with
+    subgroup_check=False), pass in_subgroup=False to force the generic
+    vector engine, which is correct for any point (like the reference's
+    fft_g1.go, which never assumes the subgroup)."""
     from ..field.backend import field_backend
 
     n = points.x.shape[0]
@@ -158,12 +205,14 @@ def fft_g1(fs: FFTSettings, points: JacobianPoint, inverse: bool = False):
         raise ValueError("got more values than roots of unity")
     if n & (n - 1) != 0:
         raise ValueError("got a non-power-of-two number of values")
-    if field_backend() == "pallas" and n > 1:
+    inv_scale = pow(n, -1, fr.SPEC.modulus) if inverse else None
+    if field_backend() == "pallas" and n > 1 and in_subgroup:
         return _fft_g1_pallas(
             points.x, points.y, points.z,
-            max_scale=fs.max_scale, n=n, inverse=inverse)
+            max_scale=fs.max_scale, n=n, inverse=inverse,
+            inv_scale=inv_scale)
     roots = fs.reverse_roots_of_unity if inverse else fs.expanded_roots_of_unity
-    inv_n = fs.inv_length(n) if inverse else None
+    inv_n = jnp.asarray(fr.from_int(inv_scale)) if inverse else None
     return _fft_g1_core(
         points.x, points.y, points.z, roots, inv_n, max_width=fs.max_width
     )

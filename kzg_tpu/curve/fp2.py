@@ -26,23 +26,34 @@ def c1(a):
 
 
 def add(a, b):
-    return jnp.stack([fp.add(c0(a), c0(b)), fp.add(c1(a), c1(b))], axis=-2)
+    # component-wise: ONE fp.add over the stacked (..., 2, 24) array
+    # (fp ops treat every leading axis as batch)
+    return fp.add(a, b)
 
 
 def sub(a, b):
-    return jnp.stack([fp.sub(c0(a), c0(b)), fp.sub(c1(a), c1(b))], axis=-2)
+    return fp.sub(a, b)
 
 
 def neg(a):
-    return jnp.stack([fp.neg(c0(a)), fp.neg(c1(a))], axis=-2)
+    return fp.neg(a)
 
 
 def mul(a, b):
-    """Karatsuba: 3 Fp multiplies."""
+    """Karatsuba: 3 Fp multiplies, issued as ONE stacked mont-mul.
+
+    Stacking matters twice on TPU: the three products run as one wide
+    batch (full vector-unit occupancy even for small tower batches), and
+    the multiply lowers to a single mont-mul instance instead of three —
+    the Fp12 pairing tower composes these, so an Fp12 multiply becomes
+    ONE 54-products-wide mont-mul (without this, the Miller-loop scan
+    body lowered to ~100 MB of HLO and never finished compiling)."""
+    a, b = jnp.broadcast_arrays(a, b)
     a0, a1, b0, b1 = c0(a), c1(a), c0(b), c1(b)
-    t0 = fp.mul(a0, b0)
-    t1 = fp.mul(a1, b1)
-    t2 = fp.mul(fp.add(a0, a1), fp.add(b0, b1))
+    x = jnp.stack([a0, a1, fp.add(a0, a1)], axis=0)
+    y = jnp.stack([b0, b1, fp.add(b0, b1)], axis=0)
+    t = fp.mul(x, y)
+    t0, t1, t2 = t[0], t[1], t[2]
     return jnp.stack(
         [fp.sub(t0, t1), fp.sub(t2, fp.add(t0, t1))], axis=-2
     )
@@ -50,8 +61,10 @@ def mul(a, b):
 
 def sqr(a):
     a0, a1 = c0(a), c1(a)
-    t0 = fp.mul(fp.add(a0, a1), fp.sub(a0, a1))  # a0^2 - a1^2
-    t1 = fp.mul(a0, a1)
+    x = jnp.stack([fp.add(a0, a1), a0], axis=0)
+    y = jnp.stack([fp.sub(a0, a1), a1], axis=0)
+    t = fp.mul(x, y)
+    t0, t1 = t[0], t[1]  # a0^2 - a1^2, a0*a1
     return jnp.stack([t0, fp.add(t1, t1)], axis=-2)
 
 

@@ -19,8 +19,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import functools
+
+import jax
+import numpy as np
+
 from .. import poly
-from ..curve import g1, g2, pairing
+from ..curve import fp2, g1, g2, pairing
 from ..curve.msm import lin_comb_g1
 from ..curve.weierstrass import JacobianPoint
 from ..field import fr
@@ -28,6 +33,39 @@ from ..field.constants import FR_MODULUS
 from ..ntt.domain import FFTSettings
 from ..ntt.fft_fr import fft
 from ..utils import host_ec
+
+
+@functools.partial(jax.jit, static_argnames=("max_width",))
+def _check_multi_batch(commitment, proofs, ys, scale, xl_mont, crs_l,
+                       rev_roots, x2_s2l, y2_s2l, max_width: int):
+    """One device program for N coset-proof checks: batched coset
+    interpolation + commitment MSMs, batched G2 [s^l - x^l]_2, and the
+    N-lane pairing product check."""
+    from ..curve.pairing_device import pairings_product_is_one
+    from ..ntt.fft_fr import _fft_core
+
+    n_samples, l = ys.shape[0], ys.shape[1]
+    coset_ifft = _fft_core(ys, rev_roots, l.bit_length() - 1,
+                           max_width=max_width)
+    interp = fr.mul(coset_ifft, scale)            # (N, l, 16)
+    is1 = lin_comb_g1(crs_l, interp)              # (N,) points
+    cb = JacobianPoint(*(
+        jnp.broadcast_to(c, (n_samples,) + c.shape[-1:])
+        for c in commitment))
+    a1 = g1.ops.sub(is1, cb)                      # -(commitment - is1)
+    # b2 = [s^l]_2 - [x^l]_2, batched on device
+    s2l = JacobianPoint(x2_s2l, y2_s2l, fp2.one_like(x2_s2l))
+    xg2 = g2.ops.scalar_mul(g2.generator((n_samples,)), xl_mont)
+    b2 = g2.ops.sub(
+        JacobianPoint(*(
+            jnp.broadcast_to(c, (n_samples,) + c.shape[-2:])
+            for c in s2l)),
+        xg2)
+    b2_aff = g2.ops.to_affine(b2)
+    gx2, gy2, _ = g2.ops.to_affine(g2.generator((n_samples,)))
+    ginf = jnp.zeros((n_samples,), dtype=bool)
+    return pairings_product_is_one(
+        a1, (gx2, gy2, ginf), proofs, b2_aff)
 
 
 def _as_affine_g1(pt):
@@ -147,6 +185,44 @@ class KZGSettings:
             axis=0,
         )
         return self._jit_proof_multi(coeffs, divisor)
+
+    def check_proof_multi_batch(self, commitment, proofs, xs, ys) -> list:
+        """Verify N coset proofs at once on the device: for every sample
+        i, p(x_i * w^j) == ys[i, j] for all j — the DAS consumer's
+        verification hot path (the reference loops CheckProofMulti per
+        sample, kzg_multi_proofs.go:47-88 / integration_test.go:110-113;
+        here the N pairing-product checks run as one jitted program with
+        batched Miller loops over the TPU Fp12 tower,
+        curve/pairing_device.py).
+
+        commitment: device JacobianPoint (single); proofs: device
+        JacobianPoint batch (N,); xs: host ints (N coset offsets);
+        ys: device uint32[N, l, 16]. Returns [bool] * N.
+        """
+        n_samples, l = ys.shape[0], ys.shape[1]
+        if len(xs) != n_samples:
+            raise ValueError("xs/ys length mismatch")
+        # interpolation scale x_i^-j, host-precomputed (N*l mod-muls)
+        xinvs = [pow(int(x) % FR_MODULUS, -1, FR_MODULUS) for x in xs]
+        scale = np.empty((n_samples, l), dtype=object)
+        for i, xi in enumerate(xinvs):
+            p, cur = [], 1
+            for _ in range(l):
+                p.append(cur)
+                cur = cur * xi % FR_MODULUS
+            scale[i] = p
+        scale_dev = jnp.asarray(fr.from_int(scale))
+        xl_mont = jnp.asarray(fr.from_int(
+            [pow(int(x) % FR_MODULUS, l, FR_MODULUS) for x in xs]))
+        s2l = self.secret_g2_affine[l]
+        x2 = jnp.asarray(fp2.from_int(list(s2l[0])))
+        y2 = jnp.asarray(fp2.from_int(list(s2l[1])))
+        ok = _check_multi_batch(
+            commitment, proofs, ys, scale_dev, xl_mont,
+            JacobianPoint(*(c[:l] for c in self.secret_g1)),
+            self.fs.reverse_roots_of_unity, x2, y2,
+            max_width=self.fs.max_width)
+        return [bool(v) for v in np.asarray(ok)]
 
     def check_proof_multi(self, commitment, proof, x: int, ys) -> bool:
         """Verify p(x*w^i) == ys[i] for all i in one pairing
