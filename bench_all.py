@@ -84,6 +84,19 @@ def derived_msm_baseline_ns(n: int) -> float:
     return adds * per_add_ns
 
 
+def loop_retry(fn, a, **kw):
+    """device_loop with one retry: large Mosaic compiles flakily drop
+    this transport's remote_compile stream mid-read."""
+    from kzg_tpu.utils.benchloop import device_loop
+
+    try:
+        return device_loop(fn, a, **kw)
+    except Exception as e:
+        print(json.dumps({"note": f"retrying after: {str(e)[:80]}"}),
+              flush=True)
+        return device_loop(fn, a, **kw)
+
+
 def emit(metric, ns, baseline_ns=None, note=None, floored=False,
          mul_bound_pct=None, extra=None):
     rec = {"metric": metric, "value": round(ns), "unit": "ns/op"}
@@ -153,7 +166,7 @@ def measure_mul_rates(rng):
         def mul(x, fn=fn, mod=mod, npr=npr, a=a):
             return fn(mod, npr, x, a)
 
-        sec, _, fl = device_loop(mul, (a,), k=256, chain=True)
+        sec, _, fl = loop_retry(mul, (a,), k=256, chain=True)
         rates[name] = None if fl else sec * 1e9 / B
         emit(f"mul_rate_{name}", sec * 1e9 / B, floored=fl,
              note=f"{L}-limb mont-mul kernel, ns per mul-lane")
@@ -172,7 +185,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--heavy", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="comma-separated metric-group filter "
+                         "(fft_fr,das,zero_poly,recover,fft_g1,msm,fk20)")
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(group):
+        return only is None or group in only
 
     import jax
     import jax.numpy as jnp
@@ -198,7 +218,7 @@ def main():
         fr_scales += [18, 20]
 
     # ---- FFT over Fr (chained: out feeds next input) ----
-    for s in fr_scales:
+    for s in fr_scales if want("fft_fr") else []:
         fs = FFTSettings(s)
         vals = rand_fr_canonical(1 << s, rng)
 
@@ -206,7 +226,7 @@ def main():
             return _fft_core(v, fs.expanded_roots_of_unity, None,
                              max_width=fs.max_width)
 
-        sec, _, fl = device_loop(fwd, (vals,), k=64 if s <= 8 else 16,
+        sec, _, fl = loop_retry(fwd, (vals,), k=64 if s <= 8 else 16,
                                  chain=True)
         base = BASELINES["fft_fr"].get(s)
         note = None
@@ -222,7 +242,7 @@ def main():
     if args.heavy:
         # cap at 19: extending 2^19 evens fills the 2^20 domain
         das_scales = [s for s in das_scales if s <= 18] + [19]
-    for s in das_scales:
+    for s in das_scales if want("das") else []:
         fs = FFTSettings(s + 1)
         vals = rand_fr_canonical(1 << s, rng)
 
@@ -231,7 +251,7 @@ def main():
                 v, fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
                 max_width=fs.max_width, interleave=False)
 
-        sec, _, fl = device_loop(ext, (vals,), k=64 if s <= 8 else 16,
+        sec, _, fl = loop_retry(ext, (vals,), k=64 if s <= 8 else 16,
                                  chain=True)
         base = BASELINES["das_extension"].get(s)
         note = None
@@ -246,7 +266,7 @@ def main():
     # ---- zero poly (half missing; device-staged leaf layout) ----
     zp_scales = [s for s in fr_scales if s <= 15] + (
         [18, 20] if args.heavy else [])
-    for s in zp_scales:
+    for s in zp_scales if want("zero_poly") else []:
         fs = FFTSettings(s + 1) if s < 20 else FFTSettings(20)
         n = 1 << s
         missing = np.sort(rng.choice(n, size=n // 2, replace=False))
@@ -255,7 +275,7 @@ def main():
         zp_graph = _zero_poly_fn(G, n, fs.max_width)
         argsd = (jax.device_put(idx), jax.device_put(valid),
                  fs.expanded_roots_of_unity, fs.reverse_roots_of_unity)
-        sec, _, fl = device_loop(zp_graph, argsd, k=8)
+        sec, _, fl = loop_retry(zp_graph, argsd, k=8)
         base = BASELINES["zero_poly"].get(s)
         note = None
         if base is None and s > 15:
@@ -268,7 +288,7 @@ def main():
     # ---- recovery (half missing; the fused single-dispatch pipeline,
     # self-check included in-graph) ----
     rec_scales = zp_scales
-    for s in rec_scales:
+    for s in rec_scales if want("recover") else []:
         fs = FFTSettings(s + 1) if s < 20 else FFTSettings(20)
         n = 1 << s
         half = rand_fr_canonical(n // 2, rng)
@@ -289,7 +309,7 @@ def main():
             jnp.asarray(fr.from_int(pow(shift, -1, FR_MODULUS))),
             fs.expanded_roots_of_unity, fs.reverse_roots_of_unity,
         )
-        sec, out, fl = device_loop(run, argsd, k=8)
+        sec, out, fl = loop_retry(run, argsd, k=8)
         recovered, ok = out
         assert bool(np.asarray(jax.device_get(ok))), "recovery failed"
         assert bool(jnp.all(fr.eq(recovered, evals))), "recovery mismatch"
@@ -308,7 +328,7 @@ def main():
 
     g1_scales = [4] if args.quick else (
         [4, 8, 12, 15] if args.heavy else [4, 8])
-    for s in g1_scales:
+    for s in g1_scales if want("fft_g1") else []:
         fs = FFTSettings(s)
         n = 1 << s
         pts = g1.mul(g1.generator((n,)), rand_fr_canonical(n, rng))
@@ -316,20 +336,20 @@ def main():
         def g1fwd(p, fs=fs):
             return fft_g1(fs, p)
 
-        sec, _, fl = device_loop(g1fwd, (pts,), k=4, chain=True)
+        sec, _, fl = loop_retry(g1fwd, (pts,), k=4, chain=True)
         emit(f"fft_g1_scale{s}", sec * 1e9, BASELINES["fft_g1"].get(s),
              floored=fl,
              mul_bound_pct=sol(rates, "fp", mulcount.fft_g1(n), sec * 1e9))
 
     # ---- commit (MSM) ----
-    if args.heavy:
+    if args.heavy and want("msm"):
         from kzg_tpu.curve.msm import lin_comb_g1
 
         for s in (12, 15):
             n = 1 << s
             base_pts = g1.mul(g1.generator((n,)), rand_fr_canonical(n, rng))
             sc = rand_fr_canonical(n, rng)
-            sec, _, fl = device_loop(lin_comb_g1, (base_pts, sc), k=4)
+            sec, _, fl = loop_retry(lin_comb_g1, (base_pts, sc), k=4)
             emit(f"commit_msm_scale{s}", sec * 1e9,
                  derived_msm_baseline_ns(n),
                  note="reference derived: Pippenger adds x Herumi point-op"
@@ -338,7 +358,7 @@ def main():
                  mul_bound_pct=sol(rates, "fp", mulcount.msm(n), sec * 1e9))
 
     # ---- FK20 multi DA: the flagship production path (proofs/sec) ----
-    if args.heavy:
+    if args.heavy and want("fk20"):
         from kzg_tpu.fk20.multi import FK20MultiSettings
         from kzg_tpu.kzg.setup import bench_kzg_settings
 
@@ -351,7 +371,7 @@ def main():
             def da(p, fks=fks):
                 return fks.da_using_fk20_multi(p)
 
-            sec, _, fl = device_loop(da, (poly,), k=4)
+            sec, _, fl = loop_retry(da, (poly,), k=4)
             counts = mulcount.fk20_multi_da(n, l)
             base = derived_fk20_baseline_ns(n, l)
             proofs = counts["proofs"]

@@ -27,7 +27,13 @@ from kzg_tpu.ntt.bitrev import bit_reversal_indices, reverse_bits_limited
 from kzg_tpu.ntt.das import das_extend_interleaved
 
 
-def run(scale=6, coset_width=8, n_checks=2, seed=1234, verbose=True):
+def run(scale=6, coset_width=8, n_checks=2, seed=1234, verbose=True,
+        device_crs=False, batch_verify=False):
+    """device_crs: build the testing CRS with one batched device
+    scalar-mul (required above ~scale 10 — the host loop takes hours).
+    batch_verify: verify EVERY sample through the batched device pairing
+    (kzg/settings.check_proof_multi_batch) instead of n_checks host
+    pairings."""
     def log(*a):
         if verbose:
             print(*a)
@@ -52,9 +58,16 @@ def run(scale=6, coset_width=8, n_checks=2, seed=1234, verbose=True):
     log(f"extended {n} -> {n2} elements", round(time.time() - t0, 1))
 
     # ---- commitment over the extended data's coefficient form ----
-    s1, s2, a1, a2 = generate_testing_setup(
-        1927409816240961209460912649124 % FR_MODULUS, n2 + 1)
-    ks = KZGSettings(fs, s1, a2, a1)
+    if device_crs:
+        from kzg_tpu.kzg.setup import insecure_kzg_settings_device
+
+        ks = insecure_kzg_settings_device(
+            1927409816240961209460912649124 % FR_MODULUS, n2 + 1, fs,
+            g2_indices=(1, coset_width))
+    else:
+        s1, s2, a1, a2 = generate_testing_setup(
+            1927409816240961209460912649124 % FR_MODULUS, n2 + 1)
+        ks = KZGSettings(fs, s1, a2, a1)
     coeffs = fft(fs, extended, inverse=True)  # top half is zero
     commit = ks.commit_to_poly(coeffs[:n])
     log("committed", round(time.time() - t0, 1))
@@ -68,23 +81,46 @@ def run(scale=6, coset_width=8, n_checks=2, seed=1234, verbose=True):
     # ---- package samples in original-data order ----
     ext_orig = reverse_bit_order(extended)  # original data order
     ext_orig_host = np.asarray(ext_orig)
-    commit_aff = g1.to_affine_ints(commit)
-    proofs_aff = g1.to_affine_ints(proofs)
 
-    # ---- verify a subset of samples with the independent pairing check ----
+    # ---- verify samples ----
     stride = fs.max_width // n2
     roots_host = fs.roots_of_unity_int()
-    check_idx = list(
-        rng.choice(sample_count, size=min(n_checks, sample_count),
-                   replace=False))
-    for i in check_idx:
-        dpos = reverse_bits_limited(sample_count, int(i))
-        x = roots_host[dpos * stride]
-        sub = ext_orig_host[i * coset_width:(i + 1) * coset_width]
-        ys = jnp.asarray(sub)[jnp.asarray(bit_reversal_indices(coset_width))]
-        assert ks.check_proof_multi(commit_aff, proofs_aff[dpos], x, ys), \
-            f"sample {i} failed verification"
-    log(f"verified {len(check_idx)} samples", round(time.time() - t0, 1))
+    if batch_verify:
+        # every sample, one device program: batched interpolation MSMs,
+        # batched G2, N-lane Miller loops + one batched final exp
+        brp_l = bit_reversal_indices(coset_width)
+        dpos_all = [reverse_bits_limited(sample_count, i)
+                    for i in range(sample_count)]
+        xs = [roots_host[d * stride] for d in dpos_all]
+        ys_all = jnp.asarray(
+            ext_orig_host.reshape(sample_count, coset_width, 16)[:, brp_l])
+        from kzg_tpu.fk20.toeplitz import take_points
+
+        proofs_b = take_points(proofs, np.asarray(dpos_all, dtype=np.int32))
+        tv = time.time()
+        ok = ks.check_proof_multi_batch(commit, proofs_b, xs, ys_all)
+        dt = time.time() - tv
+        assert all(ok), f"{ok.count(False)} samples failed verification"
+        log(f"verified ALL {sample_count} samples on device "
+            f"({sample_count / dt:.1f} samples/s)",
+            round(time.time() - t0, 1))
+    else:
+        commit_aff = g1.to_affine_ints(commit)
+        proofs_aff = g1.to_affine_ints(proofs)
+        check_idx = list(
+            rng.choice(sample_count, size=min(n_checks, sample_count),
+                       replace=False))
+        for i in check_idx:
+            dpos = reverse_bits_limited(sample_count, int(i))
+            x = roots_host[dpos * stride]
+            sub = ext_orig_host[i * coset_width:(i + 1) * coset_width]
+            ys = jnp.asarray(sub)[
+                jnp.asarray(bit_reversal_indices(coset_width))]
+            assert ks.check_proof_multi(
+                commit_aff, proofs_aff[dpos], x, ys), \
+                f"sample {i} failed verification"
+        log(f"verified {len(check_idx)} samples",
+            round(time.time() - t0, 1))
 
     # ---- drop up to half the samples, recover ----
     missing_samples = []
@@ -113,6 +149,8 @@ def run(scale=6, coset_width=8, n_checks=2, seed=1234, verbose=True):
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:4]]
-    run(*args)
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    args = [int(a) for a in sys.argv[1:4] if not a.startswith("--")]
+    run(*args, device_crs="--device-crs" in flags,
+        batch_verify="--batch-verify" in flags)
     print("FULL DAS PIPELINE PASS")

@@ -67,15 +67,20 @@ L = fp.SPEC.n_limbs  # 24
 # Extended lazy domain for the ladder kernels (field/pallas_kernels.py
 # "lazy-reduction tile ops"): one headroom limb (LL = 25, R_ext = 2^400)
 # gives R_ext/m ~ 2^19 of slack, so adds/subs never reduce and lazy_mul
-# drops its trailing conditional subtract. The bound audit for the RCB
-# formulas below: mul outputs < 1.01m; add outputs < sum of operands;
-# subs add K*m (K = 64 uniformly; every subtrahend in the formulas stays
-# < 13m); the largest intermediate is b3(65m) < 780m ~ 2^390.6 << 2^400,
-# and the largest product pair (129m, 780m) satisfies
-# 129*780 < R_ext/m ~ 2^19. Values enter/leave in the library's R=2^384
-# Montgomery form: to-ext is one lazy_mul by C_IN = 2^416 mod m
-# (multiplies by 2^16), from-ext one lazy_mul by C_OUT = 2^384 mod m
-# plus one canonical conditional subtract.
+# drops its trailing conditional subtract. Bound audit for the RCB
+# formulas below: lazy_mul's REDC output bound is input-dependent,
+# m * (1 + c1*c2*m/R_ext) for operands < c1*m, c2*m — up to ~1.26m for
+# the worst ladder pair (~131m x ~780m, 131*780*m/R_ext ~ 0.26m), so
+# treat every mul output as < 1.3m. Add outputs < sum of operands; subs
+# add K*m (K = 64 uniformly; with 1.3m mul outputs every subtrahend in
+# the formulas stays < 17m < 64m, so lazy_sub never underflows); the
+# largest intermediate is b3 (sub offset + adds) < 790m ~ 2^390.6 <<
+# 2^400, and the largest product pair (<131m, <790m) satisfies
+# 131*790 < R_ext/m ~ 2^19, keeping every REDC in range. Values
+# enter/leave in the library's R=2^384 Montgomery form: to-ext is one
+# lazy_mul by C_IN = 2^416 mod m (multiplies by 2^16), from-ext one
+# lazy_mul by C_OUT = 2^384 mod m plus one canonical conditional
+# subtract.
 LL = L + 1  # 25
 R_EXT = 1 << (16 * LL)
 
@@ -90,6 +95,18 @@ GLV_BETA = int(
 )
 
 DEFAULT_BLOCK = 256
+
+
+def _mxu_ladder_enabled() -> bool:
+    """MXU-assisted REDC in the ladder kernels — OPT-IN (KZG_TPU_MXU_LADDER=1).
+    The field FFT kernels use it by default (measured 1.15-1.28x,
+    field/pallas_kernels.py), but the ladder kernels wrap the dots
+    inside 33-window fori loops and the round-5 Mosaic compile of that
+    shape did not finish in 20 minutes on-chip; until that is bounded,
+    the ladders stay on the pure-VPU path."""
+    import os
+
+    return os.environ.get("KZG_TPU_MXU_LADDER", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -196,13 +213,26 @@ def point_add_tile(mod, npr, p, q):
 # every lazy subtraction offsets by.
 # ---------------------------------------------------------------------------
 
-def _lazy_ctx(modx, nprx):
+def _lazy_ctx(modx, nprx, mxc=None):
     """Build the in-kernel lazy context: km64 = 64*m by repeated
-    doubling (six folded adds, done once per kernel invocation)."""
+    doubling (six folded adds, done once per kernel invocation).
+    mxc: optional (np_lo, np_hi, m_lo, m_hi) byte-plane Toeplitz tiles —
+    when present, every lazy multiply's two by-constant REDC passes run
+    on the MXU (field/pallas_kernels.lazy_mul_tile_mxu, bit-identical)."""
     km = modx
     for _ in range(6):
         km = lazy_add_tile(km, km)
-    return (modx, nprx, km)
+    return (modx, nprx, km, mxc)
+
+
+def _lm(lz, a, b):
+    """The context's lazy multiply (VPU or MXU-assisted)."""
+    modx, nprx, _, mxc = lz
+    if mxc is None:
+        return lazy_mul_tile(modx, nprx, a, b)
+    from ..field.pallas_kernels import lazy_mul_tile_mxu
+
+    return lazy_mul_tile_mxu(modx, nprx, mxc, a, b)
 
 
 def _b3_mul(lz, x):
@@ -215,10 +245,10 @@ def _b3_mul(lz, x):
 
 def proj_add(lz, p, q):
     """RCB15 Algorithm 7 (a=0): complete projective add, 12M + 2*b3."""
-    modx, nprx, km = lz
+    modx, nprx, km = lz[:3]
     x1, y1, z1 = p
     x2, y2, z2 = q
-    M = lambda a, b: lazy_mul_tile(modx, nprx, a, b)
+    M = lambda a, b: _lm(lz, a, b)
     A = lazy_add_tile
     S = lambda a, b: lazy_sub_tile(km, a, b)
 
@@ -260,9 +290,9 @@ def proj_add(lz, p, q):
 
 def proj_double(lz, p):
     """RCB15 Algorithm 9 (a=0): complete projective double, 8M + b3."""
-    modx, nprx, km = lz
+    modx, nprx, km = lz[:3]
     x, y, z = p
-    M = lambda a, b: lazy_mul_tile(modx, nprx, a, b)
+    M = lambda a, b: _lm(lz, a, b)
     A = lazy_add_tile
     S = lambda a, b: lazy_sub_tile(km, a, b)
 
@@ -293,9 +323,9 @@ def to_ext(lz, cin, v):
     Pads the headroom limb and multiplies by C_IN = 2^(16*(2*LL-L)) mod m
     (net effect: value * 2^(16*(LL-L)), i.e. a*R -> a*R_ext). Output is a
     fresh lazy_mul result, < 1.01m."""
-    modx, nprx, _ = lz
+    modx, nprx = lz[0], lz[1]
     vx = jnp.pad(v, ((0, LL - L), (0, 0)))
-    return lazy_mul_tile(modx, nprx, vx, cin)
+    return _lm(lz, vx, cin)
 
 
 def from_ext(lz, cout, v):
@@ -304,8 +334,8 @@ def from_ext(lz, cout, v):
     Multiplies by C_OUT = 2^(16*L) mod m (net: divide by 2^(16*(LL-L))),
     then one canonical conditional subtract; the headroom limb of the
     result is zero and is dropped."""
-    modx, nprx, _ = lz
-    out = lazy_canon_tile(modx, lazy_mul_tile(modx, nprx, v, cout))
+    modx, nprx = lz[0], lz[1]
+    out = lazy_canon_tile(modx, _lm(lz, v, cout))
     return out[:L]
 
 
@@ -315,9 +345,9 @@ def jac_to_proj(lz, one_ext, p):
 
     The library's zero-limb infinity (Z=0, X/Y arbitrary incl. all-zero)
     maps to the valid projective identity (0 : 1 : 0)."""
-    modx, nprx, _ = lz
+    modx, nprx = lz[0], lz[1]
     x, y, z = p
-    M = lambda a, b: lazy_mul_tile(modx, nprx, a, b)
+    M = lambda a, b: _lm(lz, a, b)
     inf = _is_zero_tile(z)
     xp = M(x, z)
     zp = M(M(z, z), z)
@@ -329,9 +359,9 @@ def proj_to_jac(lz, p):
     """Projective (X : Y : Z) [x=X/Z, y=Y/Z] -> Jacobian (XZ, YZ^2, Z),
     still in the lazy ext domain (callers run from_ext on each coord).
     Identity (0:1:0) -> Z=0 (the library's infinity encoding)."""
-    modx, nprx, _ = lz
+    modx, nprx = lz[0], lz[1]
     x, y, z = p
-    M = lambda a, b: lazy_mul_tile(modx, nprx, a, b)
+    M = lambda a, b: _lm(lz, a, b)
     return M(x, z), M(y, M(z, z)), z
 
 
@@ -428,24 +458,30 @@ def _apply_digit(lz, acc, tx, ty, tz, dig):
 N_CST = 6  # modx, nprx, c_in, c_out, one_ext, beta_ext
 
 
-def _kernel_ctx(crefs):
+def _kernel_ctx(crefs, mx_refs=None):
     """(lz, cin, cout, one_ext) from the per-constant operand refs
-    (modx, nprx, cin, cout, one) — each a full (LL, LANES) ref."""
+    (modx, nprx, cin, cout, one) — each a full (LL, LANES) ref.
+    mx_refs: optional byte-plane Toeplitz matrix refs enabling the
+    MXU-assisted lazy multiply."""
     modx_ref, nprx_ref, cin_ref, cout_ref, one_ref = crefs
-    lz = _lazy_ctx(modx_ref[:, :1], nprx_ref[:, :1])
+    mxc = tuple(r[:] for r in mx_refs) if mx_refs is not None else None
+    lz = _lazy_ctx(modx_ref[:, :1], nprx_ref[:, :1], mxc)
     return (lz, cin_ref[:, :1], cout_ref[:, :1], one_ref[:, :1])
 
 
 @functools.lru_cache(maxsize=None)
-def _scalar_mul_fn(B: int, block: int, n_windows: int, interpret: bool):
+def _scalar_mul_fn(B: int, block: int, n_windows: int, interpret: bool,
+                   mxu: bool):
     """points (3x (24, B)) x signed digits (n_windows, B) -> digit-weighted
     windowed scalar multiple. MSB-first Horner: acc = 16*acc + d_j * P.
     Jacobian in/out; the ladder runs in lazy complete projective coords."""
 
-    def kernel(modx_ref, nprx_ref, cin_ref, cout_ref, one_ref,
-               px, py, pz, dig, ox, oy, oz, tx, ty, tz):
+    def kernel(modx_ref, nprx_ref, cin_ref, cout_ref, one_ref, *refs):
+        mx_refs = refs[:4] if mxu else None
+        (px, py, pz, dig, ox, oy, oz, tx, ty, tz) = (
+            refs[4:] if mxu else refs)
         lz, cin, cout, one_ext = _kernel_ctx(
-            (modx_ref, nprx_ref, cin_ref, cout_ref, one_ref))
+            (modx_ref, nprx_ref, cin_ref, cout_ref, one_ref), mx_refs)
         p_ext = tuple(to_ext(lz, cin, c) for c in (px[:], py[:], pz[:]))
         tx[0], ty[0], tz[0] = jac_to_proj(lz, one_ext, p_ext)
         _table_build_body(lz, tx, ty, tz)
@@ -472,10 +508,13 @@ def _scalar_mul_fn(B: int, block: int, n_windows: int, interpret: bool):
                          memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((n_windows, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
+    from ..field.pallas_kernels import _mxu_specs
+
     return pl.pallas_call(
         kernel,
         grid=(B // block,),
-        in_specs=[_const_spec(LL)] * 5 + [bspec] * 3 + [dspec],
+        in_specs=[_const_spec(LL)] * 5
+        + (_mxu_specs(LL) if mxu else []) + [bspec] * 3 + [dspec],
         out_specs=(bspec,) * 3,
         out_shape=tuple(jax.ShapeDtypeStruct((L, B), U32) for _ in range(3)),
         scratch_shapes=[pltpu.VMEM((8, LL, block), U32) for _ in range(3)],
@@ -484,7 +523,8 @@ def _scalar_mul_fn(B: int, block: int, n_windows: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _scalar_mul_glv_fn(B: int, block: int, n_windows: int, interpret: bool):
+def _scalar_mul_glv_fn(B: int, block: int, n_windows: int, interpret: bool,
+                       mxu: bool):
     """GLV twiddle multiply + FFT butterfly, one fused kernel per stage:
 
         t  = (d1 . windows)(B) + (d2 . windows)(phi(B))
@@ -496,20 +536,23 @@ def _scalar_mul_glv_fn(B: int, block: int, n_windows: int, interpret: bool):
     """
 
     def kernel(modx_ref, nprx_ref, cin_ref, cout_ref, one_ref, beta_ref,
-               ax, ay, az, bx, by, bz,
-               d1, d2, lox, loy, loz, hix, hiy, hiz, tx, ty, tz, ux):
+               *refs):
+        mx_refs = refs[:4] if mxu else None
+        (ax, ay, az, bx, by, bz,
+         d1, d2, lox, loy, loz, hix, hiy, hiz, tx, ty, tz, ux) = (
+            refs[4:] if mxu else refs)
         lz, cin, cout, one_ext = _kernel_ctx(
-            (modx_ref, nprx_ref, cin_ref, cout_ref, one_ref))
+            (modx_ref, nprx_ref, cin_ref, cout_ref, one_ref), mx_refs)
         beta = beta_ref[:, :1]
         b_ext = tuple(to_ext(lz, cin, c) for c in (bx[:], by[:], bz[:]))
         tx[0], ty[0], tz[0] = jac_to_proj(lz, one_ext, b_ext)
         _table_build_body(lz, tx, ty, tz)
         # phi table: same entries with x scaled by beta (y/z shared;
         # phi((X:Y:Z)) = (beta*X : Y : Z) in projective coords too)
-        modx, nprx, _ = lz
+        modx, nprx = lz[0], lz[1]
 
         def phi(k, _):
-            ux[k] = lazy_mul_tile(modx, nprx, tx[k], beta)
+            ux[k] = _lm(lz, tx[k], beta)
             return 0
 
         lax.fori_loop(0, 8, phi, 0, unroll=False)
@@ -546,10 +589,13 @@ def _scalar_mul_glv_fn(B: int, block: int, n_windows: int, interpret: bool):
                          memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((n_windows, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
+    from ..field.pallas_kernels import _mxu_specs
+
     return pl.pallas_call(
         kernel,
         grid=(B // block,),
-        in_specs=[_const_spec(LL)] * 6 + [bspec] * 6 + [dspec] * 2,
+        in_specs=[_const_spec(LL)] * 6
+        + (_mxu_specs(LL) if mxu else []) + [bspec] * 6 + [dspec] * 2,
         out_specs=(bspec,) * 6,
         out_shape=tuple(jax.ShapeDtypeStruct((L, B), U32) for _ in range(6)),
         scratch_shapes=[pltpu.VMEM((8, LL, block), U32) for _ in range(4)],
@@ -673,8 +719,12 @@ def scalar_mul_pallas(p: JacobianPoint, digits) -> JacobianPoint:
     digT = dig.T
     if digT.shape[1] != B:
         digT = jnp.pad(digT, ((0, 0), (0, B - digT.shape[1])))
-    out = _scalar_mul_fn(B, block, n_windows, _interpret())(
-        *_cst()[:5], *(_to_lanes(c, B) for c in pc), digT)
+    from ..field.pallas_kernels import _lazy_mxu_tiles
+
+    mxu = _mxu_ladder_enabled()
+    mxc = _lazy_mxu_tiles(fp.SPEC) if mxu else ()
+    out = _scalar_mul_fn(B, block, n_windows, _interpret(), mxu)(
+        *_cst()[:5], *mxc, *(_to_lanes(c, B) for c in pc), digT)
     return _lanes_to_pts(out, n, shape)
 
 
@@ -743,8 +793,12 @@ def butterfly_glv_pallas(a: JacobianPoint, b: JacobianPoint, d1, d2):
             dT = jnp.pad(dT, ((0, 0), (0, B - dT.shape[1])))
         return dT
 
-    out = _scalar_mul_glv_fn(B, block, n_windows, _interpret())(
-        *_cst(), *(_to_lanes(c, B) for c in ac),
+    from ..field.pallas_kernels import _lazy_mxu_tiles
+
+    mxu = _mxu_ladder_enabled()
+    mxc = _lazy_mxu_tiles(fp.SPEC) if mxu else ()
+    out = _scalar_mul_glv_fn(B, block, n_windows, _interpret(), mxu)(
+        *_cst(), *mxc, *(_to_lanes(c, B) for c in ac),
         *(_to_lanes(c, B) for c in bc), dig_lanes(d1), dig_lanes(d2))
     lo = _lanes_to_pts(out[:3], n, shape)
     hi = _lanes_to_pts(out[3:], n, shape)

@@ -106,6 +106,36 @@ def bench_kzg_settings(n: int, secret: int = 1927409816240961209460912649124):
     return KZGSettings(fs, pts, [None] * n)
 
 
+def insecure_kzg_settings_device(secret: int, n: int, fs,
+                                 g2_indices=(1,)):
+    """Production-scale testing KZGSettings: the n-point G1 CRS is ONE
+    batched device scalar-mul (seconds at 2^16, vs hours of host EC),
+    and [s^i]_2 is computed on host ONLY for the indices the pairing
+    checks touch (check_proof_single needs 1, check_proof_multi needs
+    the coset width). The rest of the G2 list is None placeholders.
+    """
+    import jax.numpy as jnp
+
+    from ..curve import g1 as g1mod
+    from ..field import fr
+    from ..utils import host_ec
+    from .settings import KZGSettings
+
+    secret %= FR_MODULUS
+    powers, p = [], 1
+    for _ in range(n):
+        powers.append(p)
+        p = p * secret % FR_MODULUS
+    pts = g1mod.mul(
+        g1mod.generator((n,)), jnp.asarray(fr.from_int(powers)))
+    s2 = [None] * n
+    g2gen = host_ec.g2_generator()
+    for i in set(int(i) for i in g2_indices):
+        if 0 <= i < n:
+            s2[i] = host_ec.g2_mul(g2gen, pow(secret, i, FR_MODULUS))
+    return KZGSettings(fs, pts, s2)
+
+
 def generate_testing_setup(secret: int, n: int):
     """-> (G1 device JacobianPoint batch (n,), G2 device batch (n,),
     host affine lists). The device batches feed commit/FK20; the host lists

@@ -17,7 +17,14 @@ from kzg_tpu.curve.msm import lin_comb_g1
 from kzg_tpu.curve.weierstrass import JacobianPoint
 from kzg_tpu.field import fr
 from kzg_tpu.ntt import FFTSettings
-from kzg_tpu.parallel import fft_sharded, lin_comb_g1_sharded, make_mesh
+from kzg_tpu.parallel import (
+    da_using_fk20_multi_sharded,
+    fft_g1_sharded,
+    fft_sharded,
+    lin_comb_g1_sharded,
+    make_mesh,
+    reverse_bit_order_g1_sharded,
+)
 
 MOD = fr.SPEC.modulus
 
@@ -40,6 +47,32 @@ def test_fft_sharded_matches_oracle(mesh8):
     out = fft_sharded(fs, vals, mesh8)
     assert [int(v) for v in fr.to_int(out)] == oracle.fft(vals_int)
     back = fft_sharded(fs, out, mesh8, inverse=True)
+    assert [int(v) for v in fr.to_int(back)] == vals_int
+
+
+def test_fft_sharded_inverse_pallas_backend(mesh8):
+    """Regression (round-5 ADVICE): the sharded local IFFT has length
+    n/D but must scale by the GLOBAL 1/n; the pallas path used to
+    re-derive 1/n_local from the block shape, making distributed inverse
+    FFTs wrong by a factor of D. The scale is now a static parameter."""
+    from kzg_tpu.field.backend import field_backend, set_field_backend
+
+    fs = FFTSettings(8)
+    n = 128
+    rng = np.random.default_rng(17)
+    vals_int = [int(rng.integers(0, 2**62)) % MOD for _ in range(n)]
+    vals = jax.device_put(
+        jnp.asarray(fr.from_int(vals_int)),
+        NamedSharding(mesh8, P("elem", None)),
+    )
+    prev = field_backend()
+    try:
+        set_field_backend("pallas")
+        out = fft_sharded(fs, vals, mesh8)
+        back = fft_sharded(fs, out, mesh8, inverse=True)
+    finally:
+        set_field_backend("auto")
+    assert [int(v) for v in fr.to_int(out)] == oracle.fft(vals_int)
     assert [int(v) for v in fr.to_int(back)] == vals_int
 
 
@@ -103,6 +136,50 @@ def test_msm_sharded_rejects_indivisible(mesh8):
     bad = JacobianPoint(pts.x[:6], pts.y[:6], pts.z[:6])
     with pytest.raises(ValueError):
         lin_comb_g1_sharded(bad, sc[:6], mesh8)
+
+
+def test_fft_g1_sharded_matches_single_device(mesh8):
+    """Forward and inverse sharded G1 FFT vs the single-device path
+    (bit-exact canonical coordinates via projective equality + affine)."""
+    from kzg_tpu.curve.fft_g1 import fft_g1
+
+    fs = FFTSettings(6)
+    n = 64
+    pts, _ = _sharded_points(mesh8, n, seed=21)
+    out = fft_g1_sharded(fs, pts, mesh8)
+    ref = fft_g1(fs, JacobianPoint(*(jnp.asarray(c) for c in pts)))
+    assert bool(jnp.all(g1.eq(out, ref)))
+    back = fft_g1_sharded(fs, out, mesh8, inverse=True)
+    assert bool(jnp.all(g1.eq(back, JacobianPoint(
+        *(jnp.asarray(c) for c in pts)))))
+
+
+def test_reverse_bit_order_g1_sharded(mesh8):
+    from kzg_tpu.curve.fft_g1 import reverse_bit_order_g1
+
+    pts, _ = _sharded_points(mesh8, 64, seed=22)
+    out = reverse_bit_order_g1_sharded(pts, mesh8)
+    ref = reverse_bit_order_g1(
+        JacobianPoint(*(jnp.asarray(c) for c in pts)))
+    for a, b in zip(out, ref):
+        assert bool(jnp.array_equal(jnp.asarray(a), b))
+
+
+def test_fk20_sharded_matches_single_device(mesh8):
+    """The whole sharded DAUsingFK20Multi pipeline vs one device."""
+    from kzg_tpu.fk20.multi import FK20MultiSettings
+    from kzg_tpu.kzg.setup import bench_kzg_settings
+
+    n, l = 128, 4
+    ks = bench_kzg_settings(n)
+    fks = FK20MultiSettings(ks, 2 * n, l)
+    rng = np.random.default_rng(23)
+    poly = jnp.asarray(fr.from_int(
+        [int(rng.integers(0, 2**62)) % MOD for _ in range(n)]))
+    ref = fks.da_using_fk20_multi(poly)
+    out = da_using_fk20_multi_sharded(fks, poly, mesh8)
+    assert out.x.shape[0] == 2 * fks.k
+    assert bool(jnp.all(g1.eq(out, ref)))
 
 
 def test_make_mesh_shapes():
