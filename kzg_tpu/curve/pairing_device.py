@@ -17,11 +17,12 @@ exponentiation only kills proper-subfield factors, and untwisted
 coordinates are not confined to a subfield), which is exactly why the
 denominator is carried instead of dropped.
 
-The final exponentiation is a generic square-multiply scan over the
-static exponent bits ((p^6-1)(p^2+1) easy part folded into the full
-(p^12-1)/r): ~1900 scan steps tracing ONE sqr+mul body — correct by
-construction and batched over all lanes; the classic x-chain/cyclotomic
-speedups can replace it behind the same API later.
+The final exponentiation uses Frobenius maps (gamma constants derived
+numerically from the exact oracle) for the easy part and a base-p
+4-way joint Shamir ladder for the hard part (~381 squarings + ~370
+table multiplies); a generic square-multiply ladder over the full
+(p^12-1)/r remains as final_exponentiation_generic, the differential
+oracle for the fast path.
 """
 
 from __future__ import annotations
@@ -43,6 +44,7 @@ from .tower import (
     f12_make,
     f12_mul,
     f12_one,
+    f12_one_like,
     f12_pow_static,
     f12_select,
     f12_sqr,
@@ -89,79 +91,82 @@ def untwist_g2(x2, y2):
 # ---------------------------------------------------------------------------
 
 
-def _line_double(t: JacobianPoint, xp, yp):
-    """Tangent line at Jacobian T evaluated at affine P, as (num, den):
-        l = [2YZ^3 yp - 2Y^2 - 3X^2 (xp Z^2 - X)] / (2YZ^3)."""
-    X, Y, Z = t
-    z2 = f12_sqr(Z)
-    z3 = f12_mul(Z, z2)
-    two_y = tower.f12_add(Y, Y)
-    den = f12_mul(two_y, z3)
-    xx3 = f12_mul(f12_sqr(X), tower.f12_from_small(3))
-    num = f12_sub(
-        f12_sub(f12_mul(den, yp), f12_mul(two_y, Y)),
-        f12_mul(xx3, f12_sub(f12_mul(xp, z2), X)))
-    return num, den
+def _stk(*xs):
+    return jnp.stack(jnp.broadcast_arrays(*xs), axis=0)
 
 
-def _line_add(t: JacobianPoint, xq, yq, xp, yp):
-    """Chord line through (Jacobian T, affine Q) evaluated at affine P:
-        l = [(yp - yq)(X - xq Z^2) Z - (Y - yq Z^3)(xp - xq)]
-            / ((X - xq Z^2) Z)."""
-    X, Y, Z = t
-    z2 = f12_sqr(Z)
-    z3 = f12_mul(Z, z2)
-    dx = f12_sub(X, f12_mul(xq, z2))
-    den = f12_mul(dx, Z)
-    num = f12_sub(
-        f12_mul(f12_sub(yp, yq), den),
-        f12_mul(f12_sub(Y, f12_mul(yq, z3)), f12_sub(xp, xq)))
-    return num, den
+def _dbl_step(t: JacobianPoint, xp, yp):
+    """Fused non-complete doubling (dbl-2009-l, a=0) + tangent line at P,
+    sharing A=X^2, B=Y^2, YZ and E=3A=3X^2 between the two, with every
+    tier of independent products stacked into ONE Fp12 multiply (4 mul
+    instances for the whole step — instance count is what both compile
+    size and the vector path's dispatch cost scale with).
 
-
-def _jac_double_nc(t: JacobianPoint) -> JacobianPoint:
-    """Non-complete Jacobian doubling over Fp12 (dbl-2009-l, a=0).
     Valid for T != O with Y != 0 — always true inside the Miller loop
-    (T = c*Q for 0 < c < |x| << r and odd-order Q)."""
+    (T = c*Q for 0 < c < |x| << r and odd-order Q).
+
+    line: l = [2YZ^3 yp - 2Y^2 - 3X^2 (xp Z^2 - X)] / (2YZ^3)."""
     F = tower
     X, Y, Z = t
-    A = f12_sqr(X)
-    B = f12_sqr(Y)
-    C = f12_sqr(B)
-    D = F.f12_sub(f12_sqr(F.f12_add(X, B)), F.f12_add(A, C))
+    s1 = f12_mul(_stk(X, Y, Z, Y), _stk(X, Y, Z, Z))
+    A, B, z2, YZ = s1[0], s1[1], s1[2], s1[3]
+    E = F.f12_add(F.f12_add(A, A), A)          # 3X^2
+    XB = F.f12_add(X, B)
+    s2 = f12_mul(_stk(B, XB, YZ), _stk(B, XB, z2))
+    C, XB2, YZz2 = s2[0], s2[1], s2[2]
+    D = f12_sub(XB2, F.f12_add(A, C))
     D = F.f12_add(D, D)
-    E = F.f12_add(F.f12_add(A, A), A)
-    X3 = f12_sub(f12_sqr(E), F.f12_add(D, D))
+    den = F.f12_add(YZz2, YZz2)                # 2YZ^3
+    s3 = f12_mul(_stk(E, xp), _stk(E, z2))
+    Fsq, xpz2 = s3[0], s3[1]
+    X3 = f12_sub(Fsq, F.f12_add(D, D))
+    m = f12_sub(xpz2, X)
+    s4 = f12_mul(_stk(den, E, E), _stk(yp, m, f12_sub(D, X3)))
+    dyp, Em, EDX = s4[0], s4[1], s4[2]
+    B2 = F.f12_add(B, B)
+    num = f12_sub(f12_sub(dyp, B2), Em)
     C8 = F.f12_add(C, C)
     C8 = F.f12_add(C8, C8)
     C8 = F.f12_add(C8, C8)
-    Y3 = f12_sub(f12_mul(E, f12_sub(D, X3)), C8)
-    YZ = f12_mul(Y, Z)
-    Z3 = tower.f12_add(YZ, YZ)
-    return JacobianPoint(X3, Y3, Z3)
+    Y3 = f12_sub(EDX, C8)
+    Z3 = F.f12_add(YZ, YZ)
+    return JacobianPoint(X3, Y3, Z3), num, den
 
 
-def _jac_madd_nc(t: JacobianPoint, xq, yq) -> JacobianPoint:
-    """Non-complete mixed add T + Q (Q affine, z=1), madd-2007-bl core.
-    Valid for T != +-Q and both != O — always true inside the loop."""
+def _add_step(t: JacobianPoint, xq, yq, xp, yp):
+    """Fused non-complete mixed add T + Q (madd-2007-bl, Q affine) +
+    chord line at P, sharing z2, U2 = xq Z^2 and S2 = yq Z^3 (the line's
+    dx = -(H) and its yq Z^3 term ARE madd intermediates); 5 stacked
+    Fp12 multiplies total. Valid for T != +-Q, both != O.
+
+    line: l = [(yp - yq)(X - xq Z^2) Z - (Y - yq Z^3)(xp - xq)]
+              / ((X - xq Z^2) Z)."""
+    F = tower
     X1, Y1, Z1 = t
-    Z1Z1 = f12_sqr(Z1)
-    U2 = f12_mul(xq, Z1Z1)
-    S2 = f12_mul(f12_mul(yq, Z1), Z1Z1)
+    s1 = f12_mul(_stk(Z1, yq), _stk(Z1, Z1))
+    z2, yqZ = s1[0], s1[1]
+    s2 = f12_mul(_stk(xq, yqZ), _stk(z2, z2))
+    U2, S2 = s2[0], s2[1]
     H = f12_sub(U2, X1)
-    HH = f12_sqr(H)
-    I = tower.f12_add(HH, HH)
-    I = tower.f12_add(I, I)
-    J = f12_mul(H, I)
-    rr = f12_sub(S2, Y1)
-    rr = tower.f12_add(rr, rr)
-    V = f12_mul(X1, I)
-    X3 = f12_sub(f12_sub(f12_sqr(rr), J), tower.f12_add(V, V))
-    YJ = f12_mul(Y1, J)
-    Y3 = f12_sub(f12_mul(rr, f12_sub(V, X3)), tower.f12_add(YJ, YJ))
-    Z3 = f12_mul(f12_sub(f12_sqr(tower.f12_add(Z1, H)),
-                         tower.f12_add(Z1Z1, HH)), H)
-    return JacobianPoint(X3, Y3, Z3)
+    ZH = F.f12_add(Z1, H)
+    d = f12_sub(S2, Y1)
+    r = F.f12_add(d, d)
+    s3 = f12_mul(_stk(H, H, ZH, F.f12_neg(d)),
+                 _stk(H, Z1, ZH, f12_sub(xp, xq)))
+    HH, HZ, ZH2, m2 = s3[0], s3[1], s3[2], s3[3]
+    I = F.f12_add(HH, HH)
+    I = F.f12_add(I, I)
+    den = F.f12_neg(HZ)                        # (X1 - U2) Z1
+    s4 = f12_mul(_stk(H, X1, r, f12_sub(yp, yq)),
+                 _stk(I, I, r, den))
+    J, V, rr, m1 = s4[0], s4[1], s4[2], s4[3]
+    X3 = f12_sub(f12_sub(rr, J), F.f12_add(V, V))
+    num = f12_sub(m1, m2)
+    s5 = f12_mul(_stk(r, Y1), _stk(f12_sub(V, X3), J))
+    rV, YJ = s5[0], s5[1]
+    Y3 = f12_sub(rV, F.f12_add(YJ, YJ))
+    Z3 = f12_sub(ZH2, F.f12_add(z2, HH))       # (Z1+H)^2-Z1^2-H^2 = 2 Z1 H
+    return JacobianPoint(X3, Y3, Z3), num, den
 
 
 def miller_loop_batched(xq12, yq12, xp12, yp12):
@@ -171,31 +176,30 @@ def miller_loop_batched(xq12, yq12, xp12, yp12):
 
     The loop uses NON-COMPLETE Jacobian formulas for T: every T is a
     c*Q with 0 < c < |x| << r, so T is never the identity and add steps
-    never hit T == +-Q; infinity inputs are masked by the caller."""
+    never hit T == +-Q; infinity inputs are masked by the caller. The
+    numerator/denominator pipelines ride a stacked leading axis (one
+    squaring + one multiply instance per step for both)."""
     u = -BLS_X
     bits = np.array([b == "1" for b in bin(u)[3:]], dtype=bool)
     one = tower.f12_one_like(xq12)
     q = JacobianPoint(xq12, yq12, one)
 
     def body(carry, bit):
-        t, num, den = carry
-        ln, ld = _line_double(t, xp12, yp12)
-        num = f12_mul(f12_sqr(num), ln)
-        den = f12_mul(f12_sqr(den), ld)
-        t = _jac_double_nc(t)
+        t, nd = carry                          # nd: (2, ...) num/den
+        t, ln, ld = _dbl_step(t, xp12, yp12)
+        nd = f12_mul(f12_sqr(nd), _stk(ln, ld))
         # conditional add step
-        an, ad = _line_add(t, xq12, yq12, xp12, yp12)
-        t_add = _jac_madd_nc(t, xq12, yq12)
-        num = f12_select(bit, f12_mul(num, an), num)
-        den = f12_select(bit, f12_mul(den, ad), den)
+        t_add, an, ad = _add_step(t, xq12, yq12, xp12, yp12)
+        nd_add = f12_mul(nd, _stk(an, ad))
+        nd = f12_select(bit, nd_add, nd)
         t = JacobianPoint(*(
             tower.f12_select(bit, ca, cb) for ca, cb in zip(t_add, t)))
-        return (t, num, den), None
+        return (t, nd), None
 
-    (t, num, den), _ = lax.scan(
-        body, (q, one, one), jnp.asarray(bits))
+    nd0 = jnp.stack([one, one], axis=0)
+    (t, nd), _ = lax.scan(body, (q, nd0), jnp.asarray(bits))
     # x < 0: f^{-1} = den/num — swap the pair
-    return den, num
+    return nd[1], nd[0]
 
 
 # ---------------------------------------------------------------------------

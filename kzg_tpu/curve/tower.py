@@ -64,27 +64,30 @@ def f6_neg(a):
 
 def f6_mul(a, b):
     """Toom-style 6-multiplication form, mirroring pairing.F6.__mul__ —
-    all six Fp2 products issued as ONE stacked fp2.mul (one mont-mul
-    instance; see fp2.mul's stacking note)."""
+    all six Fp2 products issued as ONE stacked fp2.mul, and the
+    assembly adds/subs stacked into one instance per op kind (every fp
+    op instance lowers to ~32 KB of carry/compare HLO, so instance
+    count — not element count — is what compile time buys)."""
     a, b = jnp.broadcast_arrays(a, b)
     a0, a1, a2 = (f6_c(a, i) for i in range(3))
     b0, b1, b2 = (f6_c(b, i) for i in range(3))
-    xs = jnp.stack([a0, a1, a2, fp2.add(a1, a2), fp2.add(a0, a1),
-                    fp2.add(a0, a2)], axis=0)
-    ys = jnp.stack([b0, b1, b2, fp2.add(b1, b2), fp2.add(b0, b1),
-                    fp2.add(b0, b2)], axis=0)
-    t = fp2.mul(xs, ys)
+    # cross-sum operands: one stacked add for both sides
+    sums = fp2.add(
+        jnp.stack([a1, a0, a0, b1, b0, b0], axis=0),
+        jnp.stack([a2, a1, a2, b2, b1, b2], axis=0))
+    xs = jnp.stack([a0, a1, a2], axis=0)
+    ys = jnp.stack([b0, b1, b2], axis=0)
+    t = fp2.mul(jnp.concatenate([xs, sums[:3]], axis=0),
+                jnp.concatenate([ys, sums[3:]], axis=0))
     t0, t1, t2, m12, m01, m02 = (t[i] for i in range(6))
-    c0 = fp2.add(
-        f2_mul_xi(fp2.sub(m12, fp2.add(t1, t2))),
-        t0)
-    c1 = fp2.add(
-        fp2.sub(m01, fp2.add(t0, t1)),
-        f2_mul_xi(t2))
-    c2 = fp2.add(
-        fp2.sub(m02, fp2.add(t0, t2)),
-        t1)
-    return f6_make(c0, c1, c2)
+    # pair sums, then cross - sum, one stacked instance each
+    ps = fp2.add(jnp.stack([t1, t0, t0], axis=0),
+                 jnp.stack([t2, t1, t2], axis=0))
+    d = fp2.sub(jnp.stack([m12, m01, m02], axis=0), ps)
+    xi = f2_mul_xi(jnp.stack([d[0], t2], axis=0))
+    out = fp2.add(jnp.stack([xi[0], d[1], d[2]], axis=0),
+                  jnp.stack([t0, xi[1], t1], axis=0))
+    return f6_make(out[0], out[1], out[2])
 
 
 def f6_sqr(a):

@@ -43,22 +43,32 @@ class CurveOps:
         return self.F.is_zero(p.z)
 
     # ---- group law ----
+    def _mul_tier(self, xs, ys):
+        """One F.mul over stacked operand tuples: same field values as
+        the individual products (multiplication is elementwise across
+        the stack), but ONE lowered mul instance instead of len(xs) —
+        every vector-path field op lowers to tens of KB of carry/compare
+        HLO, so instance count dominates compile time of point-heavy
+        programs (sharded G1 FFT/FK20, round-5)."""
+        t = self.F.mul(jnp.stack(jnp.broadcast_arrays(*xs), axis=0),
+                       jnp.stack(jnp.broadcast_arrays(*ys), axis=0))
+        return tuple(t[i] for i in range(len(xs)))
+
     def double(self, p: JacobianPoint) -> JacobianPoint:
         """dbl-2009-l (a=0). Maps infinity to infinity (Z3 = 2YZ = 0)."""
         F = self.F
-        a = F.sqr(p.x)
-        b = F.sqr(p.y)
-        c = F.sqr(b)
-        d = F.sub(F.sqr(F.add(p.x, b)), F.add(a, c))
+        a, b, yz = self._mul_tier((p.x, p.y, p.y), (p.x, p.y, p.z))
+        xb = F.add(p.x, b)
+        c, xb2 = self._mul_tier((b, xb), (b, xb))
+        d = F.sub(xb2, F.add(a, c))
         d = F.add(d, d)
         e = F.add(F.add(a, a), a)
-        f = F.sqr(e)
+        f = F.mul(e, e)
         x3 = F.sub(f, F.add(d, d))
         c8 = F.add(c, c)
         c8 = F.add(c8, c8)
         c8 = F.add(c8, c8)
         y3 = F.sub(F.mul(e, F.sub(d, x3)), c8)
-        yz = F.mul(p.y, p.z)
         z3 = F.add(yz, yz)
         return JacobianPoint(x3, y3, z3)
 
@@ -66,29 +76,26 @@ class CurveOps:
         """Complete addition via masked selects (add-2007-bl core).
 
         Handles P==Q (falls through to double), P==-Q (infinity), and
-        either operand at infinity.
+        either operand at infinity. Products are issued in stacked tiers
+        (see _mul_tier) — bit-identical values, ~2x smaller lowering.
         """
         F = self.F
-        z1z1 = F.sqr(p.z)
-        z2z2 = F.sqr(q.z)
-        u1 = F.mul(p.x, z2z2)
-        u2 = F.mul(q.x, z1z1)
-        s1 = F.mul(F.mul(p.y, q.z), z2z2)
-        s2 = F.mul(F.mul(q.y, p.z), z1z1)
+        zsum = F.add(p.z, q.z)
+        z1z1, z2z2, ta, tb, zz = self._mul_tier(
+            (p.z, q.z, p.y, q.y, zsum), (p.z, q.z, q.z, p.z, zsum))
+        u1, u2, s1, s2 = self._mul_tier(
+            (p.x, q.x, ta, tb), (z2z2, z1z1, z2z2, z1z1))
         h = F.sub(u2, u1)
         rr = F.sub(s2, s1)
 
         h2 = F.add(h, h)
-        i = F.sqr(h2)
-        j = F.mul(h, i)
+        zred = F.sub(zz, F.add(z1z1, z2z2))
+        i, z3 = self._mul_tier((h2, zred), (h2, h))
         rr2 = F.add(rr, rr)
-        v = F.mul(u1, i)
-        x3 = F.sub(F.sqr(rr2), F.add(j, F.add(v, v)))
-        s1j = F.mul(s1, j)
-        y3 = F.sub(F.mul(rr2, F.sub(v, x3)), F.add(s1j, s1j))
-        z3 = F.mul(
-            F.sub(F.sqr(F.add(p.z, q.z)), F.add(z1z1, z2z2)), h
-        )
+        j, v, r4 = self._mul_tier((h, u1, rr2), (i, i, rr2))
+        x3 = F.sub(r4, F.add(j, F.add(v, v)))
+        s1j, t5 = self._mul_tier((s1, rr2), (j, F.sub(v, x3)))
+        y3 = F.sub(t5, F.add(s1j, s1j))
         generic = JacobianPoint(x3, y3, z3)
 
         same_x = F.is_zero(h)

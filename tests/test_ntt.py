@@ -171,3 +171,19 @@ def test_bit_reversal_permutation():
     arr = fr.from_int(list(range(8)))
     out = fr.to_int(reverse_bit_order(arr))
     assert list(out) == [0, 4, 2, 6, 1, 5, 3, 7]
+
+
+@pytest.mark.heavy
+def test_fft_fr_scale16_vs_oracle():
+    """Bit-exactness at 2^16 vs the exact host oracle — the widest
+    CPU-feasible width (the 2^18/2^20 north-star widths run on TPU in
+    bench_all --heavy, chained-roundtrip-checked there)."""
+    scale = 16
+    fs = FFTSettings(scale)
+    n = 1 << scale
+    rng = np.random.default_rng(7)
+    vals_int = [int(rng.integers(0, 2**62)) % MOD for _ in range(n)]
+    out = fft(fs, jnp.asarray(fr.from_int(vals_int)))
+    assert [int(v) for v in fr.to_int(out)] == oracle.fft(vals_int)
+    back = fft(fs, out, inverse=True)
+    assert [int(v) for v in fr.to_int(back)] == vals_int
