@@ -19,7 +19,6 @@ not the kernel.
 
 import json
 import sys
-import time
 
 import numpy as np
 

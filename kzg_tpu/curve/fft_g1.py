@@ -30,10 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import fr
-from ..ntt.bitrev import bit_reversal_indices
 from ..ntt.domain import FFTSettings
 from ..ntt.bitrev import brp_permute
-from ..ntt.fft_fr import take_strided
 from . import g1
 from .weierstrass import JacobianPoint
 

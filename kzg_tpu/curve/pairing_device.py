@@ -41,7 +41,6 @@ from .tower import (
     f12_conj,
     f12_inv,
     f12_is_one,
-    f12_make,
     f12_mul,
     f12_one,
     f12_one_like,

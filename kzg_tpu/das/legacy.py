@@ -29,7 +29,7 @@ from jax import lax
 from ..field import fr
 from ..field.constants import FR_MODULUS
 from ..ntt.domain import FFTSettings
-from ..ntt.fft_fr import _fft_core, take_strided
+from ..ntt.fft_fr import _fft_core
 
 
 def zero_poly_direct(fs: FFTSettings, missing_indices, length: int):

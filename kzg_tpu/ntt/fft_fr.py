@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import fr
-from .bitrev import bit_reversal_indices, brp_permute
+from .bitrev import brp_permute
 from .domain import FFTSettings, next_pow_of_2
 
 
