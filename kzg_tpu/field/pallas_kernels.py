@@ -564,6 +564,97 @@ def _butterfly_lazy_fn(spec: FieldSpec, first: bool, B: int, block: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _butterfly_lazy_dif_fn(spec: FieldSpec, first: bool, B: int,
+                           block: int, interpret: bool, mxu: bool,
+                           reduce_hi: bool):
+    """One DIF-form lazy stage: (a, b, tw) -> (a + b, (a - b) * tw) —
+    the das-extension recursion's butterfly (das_extension.go:27-43).
+    first=True takes canonical (L, B) inputs (pad = domain entry).
+    reduce_hi=True folds the unmultiplied hi branch back under ~2m with
+    one extra lazy mul by ONE_ext — issued every few stages so pure-add
+    chains cannot outgrow the R_ext headroom (hi doubles per stage;
+    the lo branch is freshly REDC'd every stage)."""
+    L = spec.n_limbs
+    LL = L + 1
+
+    def kernel(mod_ref, npr_ref, km_ref, one_ref, *refs):
+        mod = mod_ref[:, :1]
+        npr = npr_ref[:, :1]
+        one = one_ref[:, :1]
+        # subtrahend b is an UNREDUCED down-sweep chain (up to ~2^6 * 3m
+        # between reduce_hi levels); widen the 2m operand offset to
+        # 256m by in-kernel doubling so lazy_sub cannot underflow
+        # (a + 256m - b stays < ~500m << R_ext)
+        km = km_ref[:, :1]
+        for _ in range(7):
+            km = lazy_add_tile(km, km)
+        if mxu:
+            mxc = tuple(r[:] for r in refs[:4])
+            refs = refs[4:]
+        a_ref, b_ref, tw_ref, hi_ref, lo_ref = refs
+        if first:
+            a = jnp.pad(a_ref[:], ((0, 1), (0, 0)))
+            b = jnp.pad(b_ref[:], ((0, 1), (0, 0)))
+        else:
+            a = a_ref[:]
+            b = b_ref[:]
+
+        def lmul(x, y):
+            if mxu:
+                return lazy_mul_tile_mxu(mod, npr, mxc, x, y)
+            return lazy_mul_tile(mod, npr, x, y)
+
+        d = lazy_sub_tile(km, a, b)
+        lo_ref[:] = lmul(d, jnp.broadcast_to(tw_ref[:], d.shape))
+        hi = lazy_add_tile(a, b)
+        if reduce_hi:
+            hi = lmul(hi, jnp.broadcast_to(one, hi.shape))
+        hi_ref[:] = hi
+
+    in_rows = L if first else LL
+    bspec_in = pl.BlockSpec((in_rows, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    bspec_ext = pl.BlockSpec((LL, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        in_specs=[_const_spec(LL)] * 4
+        + (_mxu_specs(LL) if mxu else [])
+        + [bspec_in] * 2 + [bspec_ext],
+        out_specs=(bspec_ext, bspec_ext),
+        out_shape=(jax.ShapeDtypeStruct((LL, B), U32),
+                   jax.ShapeDtypeStruct((LL, B), U32)),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _one_ext_tile_np(spec: FieldSpec):
+    LL = spec.n_limbs + 1
+    r_ext = 1 << (16 * LL)
+    v = r_ext % spec.modulus
+    arr = np.array([(v >> (16 * i)) & 0xFFFF for i in range(LL)],
+                   dtype=np.uint32)
+    return np.broadcast_to(arr[:, None], (LL, LANES)).copy()
+
+
+def butterfly_lazy_dif(spec: FieldSpec, a, b, tw, first: bool,
+                       reduce_hi: bool):
+    """DIF lazy butterfly (hi = a + b, lo = (a - b) * tw), lane layout.
+    a, b: (L|LL, B); tw: (LL, B) R_ext-form twiddles."""
+    B = a.shape[1]
+    block = _pow2_block(B)
+    modx, nprx, km2 = _lazy_consts(spec)
+    onex = jnp.asarray(_one_ext_tile_np(spec))
+    mxu = _mxu_enabled()
+    fn = _butterfly_lazy_dif_fn(spec, first, B, block, _interpret(), mxu,
+                                reduce_hi)
+    mxc = _lazy_mxu_tiles(spec) if mxu else ()
+    return fn(modx, nprx, km2, onex, *mxc, a, b, tw)
+
+
+@functools.lru_cache(maxsize=None)
 def _canon_scale_fn(spec: FieldSpec, B: int, block: int, interpret: bool,
                     mxu: bool):
     """Exit kernel: x (LL, B) lazy * c (LL-row R_ext-form constant) ->

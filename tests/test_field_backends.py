@@ -89,6 +89,34 @@ def test_pallas_butterfly():
     assert [int(v) for v in fr.to_int(hi)] == exp_hi
 
 
+def test_pallas_das_extension_matches_vector():
+    """The half-FFT extension pipeline (reference recursion,
+    das_extension.go:7-66, as lazy DIF down-sweep + DIT up-sweep) must
+    be bit-identical to the algebraic IFFT+FFT vector path. Sizes cover
+    the reduce_hi boundary (n=64: 6 down levels)."""
+    from kzg_tpu.ntt import FFTSettings
+    from kzg_tpu.ntt.das import _das_core
+
+    for s, ms in ((3, 4), (6, 8)):
+        fs = FFTSettings(ms)
+        vals = jnp.asarray(fr.from_int(rand(MOD, 1 << s)))
+        prev = field_backend()
+        try:
+            set_field_backend("vector")
+            ref = _das_core.__wrapped__(
+                vals, fs.expanded_roots_of_unity,
+                fs.reverse_roots_of_unity, max_width=fs.max_width,
+                interleave=False)
+            set_field_backend("pallas")
+            out = _das_core.__wrapped__(
+                vals, fs.expanded_roots_of_unity,
+                fs.reverse_roots_of_unity, max_width=fs.max_width,
+                interleave=False)
+        finally:
+            set_field_backend("auto")
+        assert bool(jnp.all(ref == out))
+
+
 def test_pallas_fft_matches_vector():
     """Whole-FFT differential: the pallas butterfly path must be
     bit-identical to the vector path (trace each fresh per backend)."""
